@@ -1,0 +1,266 @@
+"""The SPH substep as a single jitted device program.
+
+Functional equivalent of simulate_single_frame
+(``libclsph/sph_simulation.cpp:200-263``) with its kernel-by-kernel
+pipeline (bounds -> locate -> sort -> density/pressure -> forces ->
+adaptive-dt advect+collide) fused into ONE traced function: the
+reference performs 4+ blocking device->host reduction reads per substep
+(findMinMaxPosition :202, computeTimeStep :259); here everything,
+including the dt retry loop (:252-260), runs on device and only the
+final dt scalar ever needs to reach the host.
+
+Two neighbour backends:
+* ``exact``  — per-particle 27-cell gather (ops/neighbors.py),
+  reference-structure parity, used for tests/small N;
+* ``tiles``  — Morton block tiles (ops/tiles.py), the TPU fast path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import SimulationParameters
+from ..core.state import ParticleState
+from ..ops import collisions as collisions_ops
+from ..ops import grid as grid_ops
+from ..ops import integrate as integrate_ops
+from ..ops import interactions as interactions_ops
+from ..ops import neighbors as neighbors_ops
+from ..ops import tiles as tiles_ops
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Static knobs of the substep pipeline."""
+
+    neighbor_impl: str = "tiles"  # 'tiles' | 'exact'
+    cell_capacity: int = 96  # exact path: max particles per grid cell
+    block_size: int = 128  # tiles path: particles per tile
+    max_candidates: int = 48  # tiles path: candidate blocks per tile
+    tile_mode: str = "direct"  # tiles path: 'direct' | 'mxu'
+    adaptive_dt: bool = True
+
+    def tile_config(self) -> tiles_ops.TileConfig:
+        return tiles_ops.TileConfig(
+            block_size=self.block_size,
+            max_candidates=self.max_candidates,
+            mode=self.tile_mode,
+        )
+
+
+def _density_forces_exact(
+    state: ParticleState,
+    sorted_codes: jnp.ndarray,
+    params: SimulationParameters,
+    config: StepConfig,
+):
+    terms = params.precomputed()
+    idx, valid = neighbors_ops.neighbor_indices(sorted_codes, config.cell_capacity)
+
+    c_pos = neighbors_ops.gather_candidates(state.position, idx)
+    density = interactions_ops.density_sum(state.position, c_pos, valid, params, terms)
+    pressure = interactions_ops.tait_pressure(density, params)
+
+    n = state.n
+    is_self = idx == jnp.arange(n, dtype=jnp.int32)[:, None]
+    f = interactions_ops.force_sums(
+        state.position,
+        state.velocity,
+        density,
+        pressure,
+        c_pos,
+        neighbors_ops.gather_candidates(state.velocity, idx),
+        neighbors_ops.gather_candidates(density, idx),
+        neighbors_ops.gather_candidates(pressure, idx),
+        valid,
+        is_self,
+        params,
+        terms,
+    )
+    accel = interactions_ops.combine_forces(f, density, params)
+    return density, pressure, accel
+
+
+def _density_forces_tiles(
+    state: ParticleState,
+    real: jnp.ndarray,
+    params: SimulationParameters,
+    config: StepConfig,
+):
+    terms = params.precomputed()
+    cfg = config.tile_config()
+
+    blocked = tiles_ops.make_blocked(
+        state.position,
+        state.velocity,
+        state.density,
+        state.pressure,
+        real,
+        cfg.block_size,
+    )
+    bmin, bmax = tiles_ops.block_bounds(blocked.position, blocked.real)
+    cand, count, _overflow = tiles_ops.candidate_blocks(
+        bmin, bmax, params.h, cfg.max_candidates
+    )
+
+    density = tiles_ops.density_pass(blocked, cand, count, params, terms, cfg)
+    pressure = interactions_ops.tait_pressure(density, params)
+    pressure = jnp.where(real, pressure, 0.0)
+
+    blocked = blocked._replace(
+        density=density.reshape(blocked.density.shape),
+        pressure=pressure.reshape(blocked.pressure.shape),
+    )
+    accel = tiles_ops.force_pass(blocked, cand, count, params, terms, cfg)
+    return density, pressure, accel
+
+
+def _advect_collide(
+    state: ParticleState,
+    scene: Optional[collisions_ops.DeviceScene],
+    dt: jnp.ndarray,
+    params: SimulationParameters,
+):
+    """advection_collision (sphb.cl:177-223): leapfrog + DF response +
+    half-step velocity reconstruction."""
+    adv = integrate_ops.advect(
+        state.position, state.intermediate_velocity, state.acceleration, dt
+    )
+    resp = collisions_ops.handle_collisions(
+        scene,
+        adv.old_position,
+        adv.new_position,
+        adv.next_velocity,
+        params.restitution,
+        dt,
+    )
+    velocity, intermediate = integrate_ops.reconstruct_velocities(
+        state.intermediate_velocity, resp.next_velocity
+    )
+    return state.replace(
+        position=resp.position,
+        velocity=velocity,
+        intermediate_velocity=intermediate,
+    )
+
+
+def substep(
+    state: ParticleState,
+    dt: jnp.ndarray,
+    params: SimulationParameters,
+    scene: Optional[collisions_ops.DeviceScene],
+    config: StepConfig,
+):
+    """One SPH substep. Returns (new_state_in_original_order?, dt_next).
+
+    Note: like the reference (which ping-pongs buffers and never
+    un-sorts), the returned state is in Morton-sorted order — particle
+    identity across steps is not preserved. SPH fields are symmetric
+    under permutation so dynamics are unaffected; exporters that need
+    stable IDs can track the permutation via ``state.grid_index``.
+    """
+    n = params.particles_count
+
+    # ---- grid bounds + cell assignment (on-device findMinMaxPosition)
+    grid = grid_ops.compute_bounds(state.position, params)
+    codes = grid_ops.locate_in_grid(state.position, grid)
+
+    if config.neighbor_impl == "tiles":
+        # pad to a whole number of blocks; sentinels sort last
+        np_ = tiles_ops.padded_count(n, config.block_size)
+        pad = np_ - n
+        if pad:
+            far = grid.max_point + 1000.0 * params.h
+            state = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                ),
+                state,
+            )
+            state = state.replace(
+                position=state.position.at[n:].set(far),
+            )
+            codes = jnp.concatenate(
+                [codes, jnp.full((pad,), tiles_ops.SENTINEL_CODE, jnp.uint32)]
+            )
+
+    # ---- sort by Morton code (replaces the radix-sort pipeline)
+    state, sorted_codes, _ = grid_ops.sort_by_cell(state, codes)
+
+    # ---- density + pressure, forces
+    if config.neighbor_impl == "tiles":
+        real = jnp.arange(state.n, dtype=jnp.int32) < jnp.int32(n)
+        density, pressure, accel = _density_forces_tiles(state, real, params, config)
+    else:
+        density, pressure, accel = _density_forces_exact(
+            state, sorted_codes, params, config
+        )
+    state = state.replace(density=density, pressure=pressure, acceleration=accel)
+
+    if config.neighbor_impl == "tiles":
+        # drop sentinel tail before integration
+        state = jax.tree.map(lambda a: a[:n], state)
+
+    # ---- adaptive-dt advect + collide (sph_simulation.cpp:246-262)
+    def advance(dt_try):
+        new_state = _advect_collide(state, scene, dt_try, params)
+        dt_next = integrate_ops.compute_time_step(
+            new_state.velocity, new_state.acceleration, params
+        )
+        return new_state, dt_next
+
+    first_state, first_dt = advance(dt)
+    if config.adaptive_dt:
+
+        def cond(carry):
+            _, dt_used, dt_new = carry
+            return dt_used - dt_new > integrate_ops.DT_RETRY_EPS
+
+        def body(carry):
+            _, _, dt_new = carry
+            st, dt_next = advance(dt_new)
+            return st, dt_new, dt_next
+
+        final_state, _, dt_out = jax.lax.while_loop(
+            cond, body, (first_state, dt, first_dt)
+        )
+    else:
+        final_state, dt_out = first_state, first_dt
+
+    return final_state, dt_out
+
+
+@partial(jax.jit, static_argnames=("params", "config"))
+def substep_jit(state, dt, params, scene, config):
+    return substep(state, dt, params, scene, config)
+
+
+@partial(jax.jit, static_argnames=("params", "config"))
+def frame_jit(state, dt, params, scene, config):
+    """A whole frame's substep loop on device (sph_simulation.cpp:384-409).
+
+    Carries (state, dt, timeleft); loops until the frame time budget is
+    exhausted, clamping dt to timeleft exactly like the host loop
+    (:391-394). Returns (state, dt) ready for the next frame.
+    """
+    timeperframe = jnp.float32(params.frame_time)
+
+    def cond(carry):
+        _, _, timeleft = carry
+        return timeleft > 0.0
+
+    def body(carry):
+        st, dt_cur, timeleft = carry
+        st, dt_next = substep(st, dt_cur, params, scene, config)
+        timeleft = timeleft - dt_next
+        dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)
+        return st, dt_next, timeleft
+
+    state, dt, _ = jax.lax.while_loop(cond, body, (state, dt, timeperframe))
+    return state, dt

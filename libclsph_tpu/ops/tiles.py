@@ -1,0 +1,293 @@
+"""Block-tile neighbour pass — the TPU production path.
+
+Design (TPU-first, no counterpart in the reference): after the Morton
+sort, consecutive particles are spatially coherent, so we partition the
+sorted array into fixed blocks of ``B`` particles and compute
+block-level axis-aligned bounding boxes. Two blocks can interact only
+if their AABBs, dilated by the support radius h, overlap — a dense
+(nb x nb) test that yields a padded per-block candidate list. The
+density/force passes then reduce over candidate blocks with dense
+(B x B) pairwise tiles.
+
+Why this beats a literal port of the reference's 27-cell gather
+(forces.cl:24-30) on TPU:
+
+* every gather is a *contiguous block slice*, not a ragged per-cell
+  range — static shapes, unit-stride DMA;
+* the pairwise work is dense (B, B) tiles that XLA maps onto the
+  MXU/VPU; in ``mxu`` mode the heavy directional sums are literally
+  (B,B) @ (B,3) matmuls via
+    sum_j A_ij (x_i - x_j) = rowsum(A) * x_i - A @ X;
+* correctness does not depend on the tiling: the smoothing kernels'
+  hard support cutoff (smoothing.cl) zeroes every candidate beyond h,
+  and the dilated-AABB test guarantees every true r<h neighbour is in
+  some candidate block. Results equal the exact path up to float
+  summation order.
+
+Padding convention: particle arrays are padded to a multiple of B with
+sentinel particles whose Morton key is the maximal 30-bit code, so they
+sort to the tail; the sentinel mask rides along as ``real``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import smoothing
+from ..core.params import PrecomputedKernelValues, SimulationParameters
+
+SENTINEL_CODE = jnp.uint32((1 << 30) - 1)
+
+
+class TileConfig(NamedTuple):
+    block_size: int = 128  # B — particles per tile
+    max_candidates: int = 48  # padded candidate blocks per block
+    mode: str = "direct"  # 'direct' (exact rvec) | 'mxu' (matmul r^2)
+
+
+def num_blocks(n: int, block_size: int) -> int:
+    return -(-n // block_size)
+
+
+def padded_count(n: int, block_size: int) -> int:
+    return num_blocks(n, block_size) * block_size
+
+
+def block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
+    """Per-block AABB over real particles. pos (nb, B, 3), real (nb, B)."""
+    big = jnp.float32(3.0e38)
+    m = real_blocked[..., None]
+    bmin = jnp.min(jnp.where(m, pos_blocked, big), axis=1)
+    bmax = jnp.max(jnp.where(m, pos_blocked, -big), axis=1)
+    return bmin, bmax
+
+
+def candidate_blocks(
+    bmin: jnp.ndarray, bmax: jnp.ndarray, h: float, max_candidates: int
+):
+    """Padded candidate-block lists from dilated AABB overlap.
+
+    Returns (cand (nb, M) int32, count (nb,) int32, overflowed () bool).
+    Blocks with no real particles (empty AABB) never overlap anything.
+    """
+    nb = bmin.shape[0]
+    lo = bmin - h
+    hi = bmax + h
+    overlap = jnp.all(
+        (lo[:, None, :] <= bmax[None, :, :]) & (hi[:, None, :] >= bmin[None, :, :]),
+        axis=-1,
+    )  # (nb, nb)
+    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
+    row_count = pos[:, -1] + 1
+    valid = overlap & (pos < max_candidates)
+    # Scatter j into slot pos; invalid entries land in a trash column.
+    slot = jnp.where(valid, pos, max_candidates)
+    rows = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, nb))
+    cols = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (nb, nb))
+    cand = jnp.zeros((nb, max_candidates + 1), jnp.int32)
+    cand = cand.at[rows, slot].set(cols, mode="drop")
+    count = jnp.minimum(row_count, max_candidates)
+    return cand[:, :max_candidates], count, jnp.any(row_count > max_candidates)
+
+
+class BlockedFields(NamedTuple):
+    """Morton-sorted per-particle fields reshaped to (nb, B, ...)."""
+
+    position: jnp.ndarray  # (nb, B, 3)
+    velocity: jnp.ndarray  # (nb, B, 3)
+    density: jnp.ndarray  # (nb, B)
+    pressure: jnp.ndarray  # (nb, B)
+    real: jnp.ndarray  # (nb, B) bool
+    gid: jnp.ndarray  # (nb, B) int32 global sorted index
+
+
+def make_blocked(position, velocity, density, pressure, real, block_size: int):
+    n = position.shape[0]
+    nb = n // block_size
+    gid = jnp.arange(n, dtype=jnp.int32)
+    rs = lambda a: a.reshape((nb, block_size) + a.shape[1:])
+    return BlockedFields(
+        position=rs(position),
+        velocity=rs(velocity),
+        density=rs(density),
+        pressure=rs(pressure),
+        real=rs(real),
+        gid=rs(gid),
+    )
+
+
+def _pair_r2_direct(qp, cp):
+    rvec = qp[:, :, None, :] - cp[:, None, :, :]  # (nb, B, B, 3)
+    return rvec, jnp.sum(rvec * rvec, axis=-1)
+
+
+def _pair_r2_mxu(qp, cp):
+    """r^2 via the matmul identity, centred per pair for precision.
+
+    Centering on the query block's first particle keeps coordinates at
+    the scale of a block extent (~h), so the |q|^2+|c|^2-2qc
+    cancellation stays far below the 1e-4 parity budget.
+    """
+    center = qp[:, :1, :]
+    q = qp - center
+    c = cp - center
+    qq = jnp.sum(q * q, axis=-1)  # (nb, B)
+    cc = jnp.sum(c * c, axis=-1)
+    qc = jnp.einsum("nbd,ncd->nbc", q, c, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32)
+    r2 = qq[:, :, None] + cc[:, None, :] - 2.0 * qc
+    return jnp.maximum(r2, 0.0)
+
+
+def density_pass(
+    blocked: BlockedFields,
+    cand: jnp.ndarray,
+    count: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    cfg: TileConfig,
+) -> jnp.ndarray:
+    """Tile-parallel poly6 density (forces.cl:14-42 semantics).
+
+    Returns flat (n,) density over the sorted order (sentinels get
+    rest density to keep downstream divisions finite).
+    """
+    h = params.h
+    qp = blocked.position
+
+    def step(acc, m):
+        c = cand[:, m]  # (nb,)
+        cp = jnp.take(blocked.position, c, axis=0)  # (nb, B, 3)
+        creal = jnp.take(blocked.real, c, axis=0)  # (nb, B)
+        if cfg.mode == "mxu":
+            r2 = _pair_r2_mxu(qp, cp)
+        else:
+            _, r2 = _pair_r2_direct(qp, cp)
+        r = jnp.sqrt(r2)
+        w = smoothing.poly_6(r, h, terms)  # (nb, B, B)
+        ok = (m < count)[:, None, None] & creal[:, None, :]
+        contrib = jnp.sum(jnp.where(ok, w, 0.0), axis=2)  # (nb, B)
+        return acc + contrib, None
+
+    acc0 = jnp.zeros(qp.shape[:2], jnp.float32)
+    acc, _ = jax.lax.scan(step, acc0, jnp.arange(cfg.max_candidates))
+    density = params.particle_mass * acc
+    density = jnp.where(blocked.real, density, params.fluid_density)
+    return density.reshape(-1)
+
+
+def force_pass(
+    blocked: BlockedFields,
+    cand: jnp.ndarray,
+    count: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    cfg: TileConfig,
+) -> jnp.ndarray:
+    """Tile-parallel internal forces + gravity (forces.cl:44-126).
+
+    Returns flat (n, 3) acceleration over the sorted order.
+    """
+    h = params.h
+    mass = params.particle_mass
+    qp = blocked.position
+    qv = blocked.velocity
+    qrho = blocked.density
+    qpress = blocked.pressure
+    self_coeff = (qpress / qrho**2)[:, :, None]  # p_i / rho_i^2
+
+    def step(carry, m):
+        press_acc, visc_acc, norm_acc, lap_acc = carry
+        c = cand[:, m]
+        cp = jnp.take(blocked.position, c, axis=0)
+        cv = jnp.take(blocked.velocity, c, axis=0)
+        crho = jnp.take(blocked.density, c, axis=0)
+        cpress = jnp.take(blocked.pressure, c, axis=0)
+        creal = jnp.take(blocked.real, c, axis=0)
+        cgid = jnp.take(blocked.gid, c, axis=0)
+
+        if cfg.mode == "mxu":
+            r2 = _pair_r2_mxu(qp, cp)
+        else:
+            _, r2 = _pair_r2_direct(qp, cp)
+        r = jnp.sqrt(r2)  # (nb, B, B)
+
+        ok = (m < count)[:, None, None] & creal[:, None, :]
+        is_self = blocked.gid[:, :, None] == cgid[:, None, :]
+        not_self = ok & ~is_self
+
+        cut = smoothing.support_mask(r, h)  # (nb, B, B)
+        near0 = r < smoothing.EPSILON
+        safe_r = jnp.where(near0, 1.0, r)
+
+        # ---- pressure: A_ij = p_coeff * spiky_scale(r)/r, term = rowsum(A)x_i - A X_j
+        p_coeff = (cpress / crho**2)[:, None, :] + self_coeff  # (nb, B, B)
+        spiky_s = cut * terms.spiky * (h - r) ** 2 / safe_r
+        a_mat = jnp.where(not_self & ~near0, mass * p_coeff * spiky_s, 0.0)
+        # Positions are centred on the query block before the matmul so
+        # rowsum(A)x - A X does not cancel catastrophically in f32.
+        qpc = qp - qp[:, :1, :]
+        cpc = cp - qp[:, :1, :]
+        press = jnp.sum(a_mat, axis=2)[:, :, None] * qpc - jnp.einsum(
+            "nij,njd->nid", a_mat, cpc, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        )
+        # singular branch (smoothing.cl:23-25): coincident distinct pair
+        sing = jnp.where(not_self & near0, mass * p_coeff * terms.spiky, 0.0)
+        press = press + jnp.sum(sing, axis=2)[:, :, None]
+
+        # ---- viscosity: B_ij = (m/rho_j) visc_lap(r); term = B V_j - rowsum(B) v_i
+        b_mat = jnp.where(
+            not_self, (mass / crho)[:, None, :] * cut * terms.viscosity * (h - r), 0.0
+        )
+        visc = jnp.einsum(
+            "nij,njd->nid", b_mat, cv, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        ) - jnp.sum(b_mat, axis=2)[:, :, None] * qv
+
+        # ---- colour field (self included)
+        g_mat = jnp.where(
+            ok,
+            (mass / crho)[:, None, :]
+            * cut
+            * terms.poly_6_gradient
+            * (h * h - r2) ** 2,
+            0.0,
+        )
+        norm = jnp.sum(g_mat, axis=2)[:, :, None] * qpc - jnp.einsum(
+            "nij,njd->nid", g_mat, cpc, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+        )
+        l_mat = jnp.where(
+            ok,
+            (mass / crho)[:, None, :]
+            * cut
+            * terms.poly_6_laplacian
+            * (h * h - r2)
+            * (3.0 * h * h - 7.0 * r2),
+            0.0,
+        )
+        lap = jnp.sum(l_mat, axis=2)
+
+        return (press_acc + press, visc_acc + visc, norm_acc + norm, lap_acc + lap), None
+
+    nb, bsz = qp.shape[:2]
+    z3 = jnp.zeros((nb, bsz, 3), jnp.float32)
+    z1 = jnp.zeros((nb, bsz), jnp.float32)
+    (press, visc, norm, lap), _ = jax.lax.scan(
+        step, (z3, z3, z3, z1), jnp.arange(cfg.max_candidates)
+    )
+
+    total = -qrho[:, :, None] * press + visc * params.dynamic_viscosity
+    nlen = jnp.linalg.norm(norm, axis=-1, keepdims=True)
+    apply_st = nlen > params.surface_tension_threshold
+    st = (
+        -params.surface_tension
+        * lap[:, :, None]
+        * norm
+        / jnp.where(apply_st, nlen, 1.0)
+    )
+    total = total + jnp.where(apply_st, st, 0.0)
+    accel = total / qrho[:, :, None] + jnp.asarray(
+        params.constant_acceleration, dtype=jnp.float32
+    )
+    return accel.reshape(-1, 3)

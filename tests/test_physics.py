@@ -1,0 +1,263 @@
+"""Density / pressure / force passes vs the independent NumPy oracle,
+for both neighbour backends, plus physical invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libclsph_tpu.core.state import ParticleState
+from libclsph_tpu.engine.step import StepConfig, substep_jit
+from libclsph_tpu.ops import grid as grid_ops
+from libclsph_tpu.ops import integrate as integrate_ops
+
+from conftest import WATER, MUCUS, make_params
+import oracle
+
+
+def random_cloud(rng, params, n, spread=2.0):
+    """A random blob scaled so particles have O(n_neighbors) neighbours."""
+    side = (params.initial_volume) ** (1 / 3) * spread
+    pos = (rng.random((n, 3)) - 0.5) * side
+    vel = (rng.random((n, 3)) - 0.5) * 2.0
+    return pos.astype(np.float32), vel.astype(np.float32)
+
+
+def make_state(pos, vel):
+    n = pos.shape[0]
+    return ParticleState(
+        position=jnp.asarray(pos),
+        velocity=jnp.asarray(vel),
+        intermediate_velocity=jnp.asarray(vel),
+        acceleration=jnp.zeros((n, 3), jnp.float32),
+        density=jnp.zeros((n,), jnp.float32),
+        pressure=jnp.zeros((n,), jnp.float32),
+        grid_index=jnp.zeros((n,), jnp.uint32),
+    )
+
+
+def run_density_forces(state, params, impl):
+    """Drive one substep with dt tiny and adaptive off; recover the
+    density/pressure/accel the pass computed."""
+    cfg = StepConfig(neighbor_impl=impl, adaptive_dt=False)
+    out, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+    return out
+
+
+def match_order(pos):
+    """Permutation that orders rows by (quantized) position.
+
+    Quantising before lexsort keeps tie-breaking stable between the
+    pre-step positions and positions advected by the 1e-9 dummy dt
+    (which can turn an exact 0.0 into -1e-24 and flip sort order).
+    """
+    import numpy as _np
+
+    q = _np.round(_np.asarray(pos, dtype=_np.float64), 6)
+    return _np.lexsort(q.T)
+
+
+def oracle_density_forces(pos, vel, params):
+    rho, p = oracle.density_pressure(
+        pos.astype(np.float64),
+        params.particle_mass,
+        params.h,
+        params.fluid_density,
+        params.K,
+    )
+    acc = oracle.accelerations(
+        pos.astype(np.float64),
+        vel.astype(np.float64),
+        rho,
+        p,
+        params.particle_mass,
+        params.h,
+        params.dynamic_viscosity,
+        params.surface_tension,
+        params.surface_tension_threshold,
+        np.asarray(params.constant_acceleration),
+    )
+    return rho, p, acc
+
+
+@pytest.mark.parametrize("impl", ["exact", "tiles"])
+@pytest.mark.parametrize("fluid", [WATER, MUCUS])
+def test_density_forces_match_oracle(rng, impl, fluid):
+    params = make_params(fluid, n=300)
+    pos, vel = random_cloud(rng, params, 300)
+    state = make_state(pos, vel)
+
+    out = run_density_forces(state, params, impl)
+    rho_o, p_o, acc_o = oracle_density_forces(pos, vel, params)
+
+    # substep sorted the particles — match rows via position ordering
+    order_sim = match_order(out.position)
+    # positions moved by <= |v|*1e-9; sort original positions identically
+    order_ref = match_order(pos)
+
+    rho_sim = np.asarray(out.density)[order_sim]
+    rho_ref = rho_o[order_ref]
+    rms = np.sqrt(np.mean((rho_sim - rho_ref) ** 2)) / np.mean(rho_ref)
+    assert rms < 1e-4, f"density RMS err {rms}"
+
+    p_sim = np.asarray(out.pressure)[order_sim]
+    np.testing.assert_allclose(p_sim, p_o[order_ref], rtol=5e-3, atol=1e-3)
+
+    acc_sim = np.asarray(out.acceleration)[order_sim]
+    acc_ref = acc_o[order_ref]
+    scale = np.abs(acc_ref).max()
+    np.testing.assert_allclose(acc_sim, acc_ref, atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("impl", ["exact", "tiles"])
+def test_lattice_density_forces_match_oracle(impl):
+    # The structured (degenerate-geometry) case: the init lattice, with
+    # many exactly-equal distances and particles on cell boundaries.
+    params = make_params(WATER, n=216)
+    from libclsph_tpu.core.state import init_state
+
+    state = init_state(params)
+    pos = np.asarray(state.position)
+    vel = np.zeros_like(pos)
+
+    out = run_density_forces(state, params, impl)
+    rho_o, p_o, acc_o = oracle_density_forces(pos, vel, params)
+
+    order_sim = match_order(out.position)
+    order_ref = match_order(pos)
+    rho_sim = np.asarray(out.density)[order_sim]
+    rho_ref = rho_o[order_ref]
+    rms = np.sqrt(np.mean((rho_sim - rho_ref) ** 2)) / np.mean(rho_ref)
+    assert rms < 1e-4
+
+
+def test_exact_vs_tiles_identical(rng):
+    params = make_params(WATER, n=2000)
+    pos, vel = random_cloud(rng, params, 2000)
+    state = make_state(pos, vel)
+    out_e = run_density_forces(state, params, "exact")
+    out_t = run_density_forces(state, params, "tiles")
+    order_e = match_order(out_e.position)
+    order_t = match_order(out_t.position)
+    np.testing.assert_allclose(
+        np.asarray(out_e.density)[order_e],
+        np.asarray(out_t.density)[order_t],
+        rtol=2e-6,
+    )
+    acc_e = np.asarray(out_e.acceleration)[order_e]
+    acc_t = np.asarray(out_t.acceleration)[order_t]
+    scale = np.abs(acc_e).max()
+    np.testing.assert_allclose(acc_e, acc_t, atol=1e-5 * scale)
+
+
+class TestGrid:
+    def test_sorted_cell_ranges_cover_all(self, rng, water_params):
+        pos = (rng.random((500, 3)).astype(np.float32) - 0.5) * 3
+        grid = grid_ops.compute_bounds(jnp.asarray(pos), water_params)
+        codes = grid_ops.locate_in_grid(jnp.asarray(pos), grid)
+        sorted_codes = jnp.sort(codes)
+        start, end = grid_ops.cell_ranges(sorted_codes, sorted_codes)
+        counts = np.asarray(end - start)
+        # every particle's own cell range contains it
+        assert (counts >= 1).all()
+        # total unique coverage equals N
+        u, c = np.unique(np.asarray(sorted_codes), return_counts=True)
+        s2, e2 = grid_ops.cell_ranges(sorted_codes, jnp.asarray(u))
+        np.testing.assert_array_equal(np.asarray(e2 - s2), c)
+
+    def test_bounds_padding(self, water_params):
+        pos = jnp.asarray([[0.0, 0.0, 0.0], [1.0, 2.0, 3.0]], jnp.float32)
+        g = grid_ops.compute_bounds(pos, water_params)
+        cell = water_params.cell_side
+        np.testing.assert_allclose(
+            np.asarray(g.min_point), [0 - 2 * cell, 0 - 2 * cell, 0 - 2 * cell],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g.max_point), [1 + 2 * cell, 2 + 2 * cell, 3 + 2 * cell],
+            rtol=1e-6,
+        )
+        # particles never land in coord 0 cells (reference relies on this)
+        codes = grid_ops.locate_in_grid(pos, g)
+        from libclsph_tpu.core import morton
+
+        x, y, z = morton.decode(codes)
+        assert (np.asarray(x) >= 1).all()
+
+
+class TestIntegrate:
+    def test_leapfrog_matches_oracle(self, rng):
+        pos = rng.random((10, 3))
+        vin = rng.random((10, 3))
+        acc = rng.random((10, 3))
+        dt = 0.01
+        adv = integrate_ops.advect(
+            jnp.asarray(pos, jnp.float32),
+            jnp.asarray(vin, jnp.float32),
+            jnp.asarray(acc, jnp.float32),
+            jnp.float32(dt),
+        )
+        vel, inter = integrate_ops.reconstruct_velocities(
+            jnp.asarray(vin, jnp.float32), adv.next_velocity
+        )
+        o_pos, o_vel, o_next = oracle.leapfrog(pos, vin, acc, dt)
+        np.testing.assert_allclose(np.asarray(adv.new_position), o_pos, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(vel), o_vel, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(inter), o_next, rtol=1e-5)
+
+    def test_time_step_matches_oracle(self, rng, water_params):
+        vel = rng.random((50, 3)) * 3
+        acc = rng.random((50, 3)) * 20
+        dt = integrate_ops.compute_time_step(
+            jnp.asarray(vel, jnp.float32),
+            jnp.asarray(acc, jnp.float32),
+            water_params,
+        )
+        o = oracle.time_step(
+            vel, acc, water_params.h, integrate_ops.DT_MIN, water_params.max_dt
+        )
+        assert float(dt) == pytest.approx(o, rel=1e-4)
+
+    def test_time_step_clamps(self, water_params):
+        # huge accel -> floor; zero accel/vel -> ceiling
+        dt_lo = integrate_ops.compute_time_step(
+            jnp.zeros((1, 3)), jnp.full((1, 3), 1e12), water_params
+        )
+        assert float(dt_lo) == pytest.approx(integrate_ops.DT_MIN)
+        dt_hi = integrate_ops.compute_time_step(
+            jnp.zeros((1, 3)), jnp.zeros((1, 3)), water_params
+        )
+        assert float(dt_hi) == pytest.approx(water_params.max_dt)
+
+
+class TestInvariants:
+    def test_momentum_conservation_no_gravity(self, rng):
+        """Pressure+viscosity are antisymmetric pairwise: with gravity
+        and surface tension off, total momentum change is ~0."""
+        params = make_params(
+            dict(WATER, surface_tension=0.0),
+            n=500,
+            constant_acceleration=dict(x=0, y=0, z=0),
+        )
+        pos, vel = random_cloud(rng, params, 500)
+        state = make_state(pos, vel)
+        out = run_density_forces(state, params, "tiles")
+        acc = np.asarray(out.acceleration, dtype=np.float64)
+        rho = np.asarray(out.density, dtype=np.float64)
+        # force_i = m * acc_i (equal masses): sum of forces ~ 0
+        total_f = (acc * params.particle_mass).sum(axis=0)
+        scale = np.abs(acc * params.particle_mass).sum(axis=0).max()
+        assert np.abs(total_f).max() < 1e-3 * scale
+
+    def test_rest_density_near_reference(self):
+        """A big uniform lattice interior should sit near rho0 by
+        construction of h (n_neighbors inside the support radius)."""
+        params = make_params(WATER, n=4096)
+        from libclsph_tpu.core.state import init_state
+
+        state = init_state(params)
+        out = run_density_forces(state, params, "tiles")
+        rho = np.asarray(out.density)
+        # interior particles: top quartile of density
+        interior = np.quantile(rho, 0.9)
+        assert 0.5 * params.fluid_density < interior < 1.5 * params.fluid_density
