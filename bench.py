@@ -1,0 +1,132 @@
+"""Benchmark harness — particle-steps/second on the live device.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The headline metric is sustained particle-steps/second on a water
+dam-break at BENCH_N particles (default 1M on TPU, smaller on CPU), the
+workload class of BASELINE.md ("particle-steps/sec at 1M particles").
+``vs_baseline`` is measured against the driver's north star of 100M
+particle-steps/s on a v5e-8, prorated to a single chip (12.5M/chip),
+since this harness runs single-chip.
+
+Usage: python bench.py [--n N] [--steps K] [--scene cube|none] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR_PER_CHIP = 100e6 / 8  # BASELINE.json: 100M p-steps/s on v5e-8
+
+
+def build_params(n: int):
+    from libclsph_tpu.core.params import derive_parameters
+
+    fluid = dict(
+        fluid_density=998.29,
+        dynamic_viscosity=3.5,
+        restitution=0,
+        k=100,
+        surface_tension_threshold=7.065,
+        surface_tension=0.0728,
+        particles_inside_influence_radius=20,
+    )
+    sim = dict(
+        particles_count=n,
+        particle_mass=0.05,
+        simulation_time=3,
+        target_fps=60,
+        simulation_scale=0.1,
+        constant_acceleration=dict(x=0, y=-9.8, z=0),
+    )
+    return derive_parameters(fluid, sim)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=None, help="particle count")
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--scene", default="none", choices=["none", "cube", "box"])
+    ap.add_argument("--impl", default="tiles", choices=["tiles", "exact"])
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--max-candidates", type=int, default=48)
+    ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    n = args.n or (1_000_000 if on_accel else 32_768)
+
+    from libclsph_tpu.core.state import init_state
+    from libclsph_tpu.engine.step import StepConfig, substep_jit
+    from libclsph_tpu.ops import collisions as collisions_ops
+    from libclsph_tpu.scene.scene import Scene
+
+    params = build_params(n)
+    cfg = StepConfig(
+        neighbor_impl=args.impl,
+        block_size=args.block_size,
+        max_candidates=args.max_candidates,
+        tile_mode=args.tile_mode,
+    )
+
+    scene_dev = None
+    if args.scene != "none":
+        scene = Scene.load(args.scene + ".obj", params.h * 2, scenes_dir="scenes")
+        scene_dev = collisions_ops.build_device_scene(scene)
+
+    state = init_state(params)
+    dt = jnp.float32(params.max_dt)
+
+    def log(msg):
+        if not args.json_only:
+            print(msg, file=sys.stderr)
+
+    log(f"platform={platform} n={n} impl={args.impl} scene={args.scene}")
+
+    # warmup + compile
+    t0 = time.perf_counter()
+    for _ in range(args.warmup):
+        state, dt = substep_jit(state, dt, params, scene_dev, cfg)
+    jax.block_until_ready(state.position)
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, dt = substep_jit(state, dt, params, scene_dev, cfg)
+    jax.block_until_ready(state.position)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_s = args.steps / elapsed
+    psteps = n * steps_per_s
+    result = {
+        "metric": f"particle-steps/sec water dam-break @ {n} particles ({platform})",
+        "value": round(psteps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(psteps / NORTH_STAR_PER_CHIP, 4),
+        "detail": {
+            "n": n,
+            "steps": args.steps,
+            "elapsed_s": round(elapsed, 4),
+            "ms_per_step": round(1000 * elapsed / args.steps, 3),
+            "impl": args.impl,
+            "scene": args.scene,
+            "platform": platform,
+            "final_dt": float(dt),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

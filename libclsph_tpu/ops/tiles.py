@@ -66,27 +66,37 @@ def block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
 
 
 def candidate_blocks(
-    bmin: jnp.ndarray, bmax: jnp.ndarray, h: float, max_candidates: int
+    bmin: jnp.ndarray,
+    bmax: jnp.ndarray,
+    h: float,
+    max_candidates: int,
+    cand_bmin: jnp.ndarray | None = None,
+    cand_bmax: jnp.ndarray | None = None,
 ):
     """Padded candidate-block lists from dilated AABB overlap.
 
+    Query boxes (nb) x candidate boxes (nc; defaults to the query set).
     Returns (cand (nb, M) int32, count (nb,) int32, overflowed () bool).
     Blocks with no real particles (empty AABB) never overlap anything.
     """
+    if cand_bmin is None:
+        cand_bmin, cand_bmax = bmin, bmax
     nb = bmin.shape[0]
+    nc = cand_bmin.shape[0]
     lo = bmin - h
     hi = bmax + h
     overlap = jnp.all(
-        (lo[:, None, :] <= bmax[None, :, :]) & (hi[:, None, :] >= bmin[None, :, :]),
+        (lo[:, None, :] <= cand_bmax[None, :, :])
+        & (hi[:, None, :] >= cand_bmin[None, :, :]),
         axis=-1,
-    )  # (nb, nb)
+    )  # (nb, nc)
     pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
     row_count = pos[:, -1] + 1
     valid = overlap & (pos < max_candidates)
     # Scatter j into slot pos; invalid entries land in a trash column.
     slot = jnp.where(valid, pos, max_candidates)
-    rows = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, nb))
-    cols = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (nb, nb))
+    rows = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, nc))
+    cols = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc))
     cand = jnp.zeros((nb, max_candidates + 1), jnp.int32)
     cand = cand.at[rows, slot].set(cols, mode="drop")
     count = jnp.minimum(row_count, max_candidates)
@@ -104,10 +114,15 @@ class BlockedFields(NamedTuple):
     gid: jnp.ndarray  # (nb, B) int32 global sorted index
 
 
-def make_blocked(position, velocity, density, pressure, real, block_size: int):
+def make_blocked(
+    position, velocity, density, pressure, real, block_size: int, gid_offset=0
+):
+    """``gid_offset`` makes gids globally unique across shards (each
+    shard passes shard_index * local_n) so self-exclusion works against
+    an all-gathered candidate table."""
     n = position.shape[0]
     nb = n // block_size
-    gid = jnp.arange(n, dtype=jnp.int32)
+    gid = jnp.arange(n, dtype=jnp.int32) + gid_offset
     rs = lambda a: a.reshape((nb, block_size) + a.shape[1:])
     return BlockedFields(
         position=rs(position),
@@ -148,19 +163,24 @@ def density_pass(
     params: SimulationParameters,
     terms: PrecomputedKernelValues,
     cfg: TileConfig,
+    cand_fields: BlockedFields | None = None,
 ) -> jnp.ndarray:
     """Tile-parallel poly6 density (forces.cl:14-42 semantics).
 
+    ``cand_fields`` is the block table candidate indices refer to —
+    defaults to ``blocked`` (single-chip); under shard_map it is the
+    all-gathered global block table (parallel/sharded_step.py).
     Returns flat (n,) density over the sorted order (sentinels get
     rest density to keep downstream divisions finite).
     """
+    cf = cand_fields if cand_fields is not None else blocked
     h = params.h
     qp = blocked.position
 
     def step(acc, m):
         c = cand[:, m]  # (nb,)
-        cp = jnp.take(blocked.position, c, axis=0)  # (nb, B, 3)
-        creal = jnp.take(blocked.real, c, axis=0)  # (nb, B)
+        cp = jnp.take(cf.position, c, axis=0)  # (nb, B, 3)
+        creal = jnp.take(cf.real, c, axis=0)  # (nb, B)
         if cfg.mode == "mxu":
             r2 = _pair_r2_mxu(qp, cp)
         else:
@@ -185,11 +205,14 @@ def force_pass(
     params: SimulationParameters,
     terms: PrecomputedKernelValues,
     cfg: TileConfig,
+    cand_fields: BlockedFields | None = None,
 ) -> jnp.ndarray:
     """Tile-parallel internal forces + gravity (forces.cl:44-126).
 
-    Returns flat (n, 3) acceleration over the sorted order.
+    ``cand_fields`` as in :func:`density_pass`. Returns flat (n, 3)
+    acceleration over the sorted order.
     """
+    cf = cand_fields if cand_fields is not None else blocked
     h = params.h
     mass = params.particle_mass
     qp = blocked.position
@@ -201,12 +224,12 @@ def force_pass(
     def step(carry, m):
         press_acc, visc_acc, norm_acc, lap_acc = carry
         c = cand[:, m]
-        cp = jnp.take(blocked.position, c, axis=0)
-        cv = jnp.take(blocked.velocity, c, axis=0)
-        crho = jnp.take(blocked.density, c, axis=0)
-        cpress = jnp.take(blocked.pressure, c, axis=0)
-        creal = jnp.take(blocked.real, c, axis=0)
-        cgid = jnp.take(blocked.gid, c, axis=0)
+        cp = jnp.take(cf.position, c, axis=0)
+        cv = jnp.take(cf.velocity, c, axis=0)
+        crho = jnp.take(cf.density, c, axis=0)
+        cpress = jnp.take(cf.pressure, c, axis=0)
+        creal = jnp.take(cf.real, c, axis=0)
+        cgid = jnp.take(cf.gid, c, axis=0)
 
         if cfg.mode == "mxu":
             r2 = _pair_r2_mxu(qp, cp)

@@ -1,0 +1,328 @@
+"""Multi-chip SPH substep via ``shard_map`` over a device mesh.
+
+New capability over the strictly single-device reference (SURVEY.md
+§2.3): spatial (Morton-range) data decomposition across chips.
+
+Per-shard algorithm (axis "dp"):
+
+1.  Global bounds via ``lax.pmin``/``lax.pmax`` (the distributed
+    findMinMaxPosition, sph_simulation.cpp:634-728 — two blocking host
+    reads there, two ICI collectives here).
+2.  Local Morton sort of the shard's particles. Shards are seeded with
+    a host-side global Morton partition (parallel/mesh.py), so each
+    shard stays spatially compact and its tiles coherent.
+3.  Neighbour search: local block AABBs are all-gathered, each shard
+    selects candidate blocks from the *global* block table, and the
+    tile passes gather candidate data from all-gathered particle
+    fields. This is the simple, fully-correct exchange; the
+    planned optimisation is boundary-halo ``ppermute`` exchange of
+    only surface blocks.
+4.  Adaptive-dt (sph_simulation.cpp:246-262) with ``lax.pmax`` over
+    shard-local maxima inside the on-device retry loop, so all chips
+    agree on dt with zero host synchronisation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.params import SimulationParameters
+from ..core.state import ParticleState
+from ..engine.step import StepConfig, _advect_collide
+from ..ops import collisions as collisions_ops
+from ..ops import grid as grid_ops
+from ..ops import integrate as integrate_ops
+from ..ops import interactions as interactions_ops
+from ..ops import tiles as tiles_ops
+from .mesh import AXIS
+
+
+def _local_substep(
+    state: ParticleState,
+    dt: jnp.ndarray,
+    params: SimulationParameters,
+    scene: Optional[collisions_ops.DeviceScene],
+    config: StepConfig,
+    n_shards: int,
+):
+    """Body run per shard under shard_map. state arrays are the local
+    shard (n_local = padded_n / n_shards rows)."""
+    cfg = config.tile_config()
+    terms = params.precomputed()
+    n_local = state.position.shape[0]
+    shard = jax.lax.axis_index(AXIS)
+
+    # ---- 1. global bounds (pmin/pmax over real particles only);
+    # sentinel padding rows are detected by their far-away positions
+    # (pad_for_mesh places them at 1e32)
+    big = jnp.float32(3.0e38)
+    valid = jnp.isfinite(state.position).all(axis=1) & (
+        jnp.abs(state.position).max(axis=1) < 1.0e30
+    )
+    pos_min = jnp.min(
+        jnp.where(valid[:, None], state.position, big), axis=0
+    )
+    pos_max = jnp.max(
+        jnp.where(valid[:, None], state.position, -big), axis=0
+    )
+    pos_min = jax.lax.pmin(pos_min, AXIS)
+    pos_max = jax.lax.pmax(pos_max, AXIS)
+    cell = jnp.float32(params.cell_side)
+    gmin = pos_min - 2.0 * cell
+    gmax = pos_max + 2.0 * cell
+    grid = grid_ops.GridInfo(
+        min_point=gmin,
+        max_point=gmax,
+        grid_size=((gmax - gmin) / cell).astype(jnp.int32),
+        cell_side=cell,
+    )
+
+    # ---- 2. local Morton sort
+    codes = grid_ops.locate_in_grid(state.position, grid)
+    codes = jnp.where(valid, codes, tiles_ops.SENTINEL_CODE)
+    state_s, sorted_codes, order = grid_ops.sort_by_cell(state, codes)
+    valid_s = jnp.take(valid, order, axis=0)
+
+    # ---- 3. blocked fields + global candidate table
+    blocked = tiles_ops.make_blocked(
+        state_s.position,
+        state_s.velocity,
+        state_s.density,
+        state_s.pressure,
+        valid_s,
+        cfg.block_size,
+        gid_offset=shard * n_local,
+    )
+    bmin, bmax = tiles_ops.block_bounds(blocked.position, blocked.real)
+
+    # all-gather global block tables over ICI
+    gather = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
+    g_bmin = gather(bmin)
+    g_bmax = gather(bmax)
+    g_blocked_pos = gather(blocked.position)
+    g_real = gather(blocked.real)
+    g_gid = gather(blocked.gid)
+
+    cand, count, _ovf = tiles_ops.candidate_blocks(
+        bmin, bmax, params.h, cfg.max_candidates, g_bmin, g_bmax
+    )
+
+    cand_fields_pos = tiles_ops.BlockedFields(
+        position=g_blocked_pos,
+        velocity=g_blocked_pos,  # unused in density
+        density=g_real.astype(jnp.float32),  # unused in density
+        pressure=g_real.astype(jnp.float32),  # unused
+        real=g_real,
+        gid=g_gid,
+    )
+    density = tiles_ops.density_pass(
+        blocked, cand, count, params, terms, cfg, cand_fields=cand_fields_pos
+    )
+    pressure = interactions_ops.tait_pressure(density, params)
+    pressure = jnp.where(valid_s, pressure, 0.0)
+    density = jnp.where(valid_s, density, params.fluid_density)
+
+    blocked = blocked._replace(
+        density=density.reshape(blocked.density.shape),
+        pressure=pressure.reshape(blocked.pressure.shape),
+    )
+
+    cand_fields = tiles_ops.BlockedFields(
+        position=g_blocked_pos,
+        velocity=gather(blocked.velocity),
+        density=gather(blocked.density),
+        pressure=gather(blocked.pressure),
+        real=g_real,
+        gid=g_gid,
+    )
+    accel = tiles_ops.force_pass(
+        blocked, cand, count, params, terms, cfg, cand_fields=cand_fields
+    )
+    accel = jnp.where(valid_s[:, None], accel, 0.0)
+
+    state_s = state_s.replace(
+        density=density, pressure=pressure, acceleration=accel
+    )
+
+    # ---- 4. adaptive-dt advect+collide with global pmax agreement
+    def global_dt(velocity, acceleration):
+        mv2 = jnp.max(
+            jnp.where(valid_s, jnp.sum(velocity * velocity, axis=-1), 0.0)
+        )
+        ma2 = jnp.max(
+            jnp.where(valid_s, jnp.sum(acceleration * acceleration, axis=-1), 0.0)
+        )
+        mv2 = jax.lax.pmax(mv2, AXIS)
+        ma2 = jax.lax.pmax(ma2, AXIS)
+        max_vel = jnp.sqrt(mv2)
+        max_accel = jnp.maximum(jnp.sqrt(ma2), 1e-12)
+        dt_new = (jnp.sqrt(2.0 * max_accel * params.h + mv2) - max_vel) / (
+            2.0 * max_accel
+        )
+        return jnp.clip(dt_new, integrate_ops.DT_MIN, params.max_dt)
+
+    def advance(dt_try):
+        new_state = _advect_collide(state_s, scene, dt_try, params)
+        # freeze sentinels in place
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(
+                valid_s.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+            ),
+            new_state,
+            state_s,
+        )
+        return new_state, global_dt(new_state.velocity, new_state.acceleration)
+
+    first_state, first_dt = advance(dt)
+    if config.adaptive_dt:
+
+        def cond(carry):
+            _, dt_used, dt_new = carry
+            return dt_used - dt_new > integrate_ops.DT_RETRY_EPS
+
+        def body(carry):
+            _, _, dt_new = carry
+            st, dt_next = advance(dt_new)
+            return st, dt_new, dt_next
+
+        final_state, _, dt_out = jax.lax.while_loop(
+            cond, body, (first_state, dt, first_dt)
+        )
+    else:
+        final_state, dt_out = first_state, first_dt
+
+    return final_state, dt_out
+
+
+def make_sharded_substep(
+    mesh: Mesh,
+    params: SimulationParameters,
+    scene: Optional[collisions_ops.DeviceScene],
+    config: StepConfig,
+):
+    """Build the jitted sharded substep for a mesh.
+
+    Expects state arrays pre-padded so N_padded is divisible by
+    (n_shards * block_size); see :func:`pad_for_mesh`.
+    """
+    n_shards = mesh.shape[AXIS]
+    pspec = P(AXIS)
+    state_specs = ParticleState(
+        position=pspec,
+        velocity=pspec,
+        intermediate_velocity=pspec,
+        acceleration=pspec,
+        density=pspec,
+        pressure=pspec,
+        grid_index=pspec,
+    )
+
+    fn = shard_map(
+        partial(
+            _local_substep,
+            params=params,
+            scene=scene,
+            config=config,
+            n_shards=n_shards,
+        ),
+        mesh=mesh,
+        in_specs=(state_specs, P()),
+        out_specs=(state_specs, P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def pad_for_mesh(
+    state: ParticleState, params: SimulationParameters, mesh: Mesh, config: StepConfig
+) -> ParticleState:
+    """Pad + Morton-partition the state across the mesh (host side).
+
+    Sentinel rows get non-finite-ish far positions; they are detected
+    on device by magnitude and frozen.
+    """
+    from .mesh import morton_partition
+
+    n = state.position.shape[0]
+    n_shards = mesh.shape[AXIS]
+    chunk = n_shards * config.block_size
+    n_pad = (-n) % chunk
+
+    order = morton_partition(np.asarray(state.position), n_shards)
+    state = jax.tree.map(lambda a: jnp.take(a, jnp.asarray(order), axis=0), state)
+
+    if n_pad:
+        far = jnp.float32(1.0e32)
+
+        def pad(a):
+            fill = jnp.zeros((n_pad,) + a.shape[1:], a.dtype)
+            return jnp.concatenate([a, fill], axis=0)
+
+        state = jax.tree.map(pad, state)
+        state = state.replace(
+            position=state.position.at[n:].set(far),
+            density=state.density.at[n:].set(params.fluid_density),
+        )
+    return state
+
+
+def dryrun(n_devices: int) -> None:
+    """Driver hook: build an n_devices mesh, jit the FULL sharded step,
+    run one step on tiny shapes, sanity-check the result."""
+    import jax
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(jax.devices())}"
+    )
+    mesh = Mesh(np.asarray(devices), (AXIS,))
+
+    from ..core.params import derive_parameters
+    from ..core.state import init_state
+
+    fluid = dict(
+        fluid_density=998.29,
+        dynamic_viscosity=3.5,
+        restitution=0,
+        k=100,
+        surface_tension_threshold=7.065,
+        surface_tension=0.0728,
+        particles_inside_influence_radius=20,
+    )
+    sim = dict(
+        particles_count=2048,
+        particle_mass=0.05,
+        simulation_time=3,
+        target_fps=60,
+        simulation_scale=0.1,
+        constant_acceleration=dict(x=0, y=-9.8, z=0),
+    )
+    params = derive_parameters(fluid, sim)
+    config = StepConfig(neighbor_impl="tiles", block_size=64, max_candidates=32)
+
+    state = init_state(params)
+    state = pad_for_mesh(state, params, mesh, config)
+    sharding = NamedSharding(mesh, P(AXIS))
+    state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+    step = make_sharded_substep(mesh, params, None, config)
+    out_state, dt = step(state, jnp.float32(params.max_dt))
+    jax.block_until_ready(out_state.position)
+
+    pos = np.asarray(out_state.position)
+    real = np.abs(pos).max(axis=1) < 1.0e30
+    assert real.sum() == params.particles_count, (
+        real.sum(),
+        params.particles_count,
+    )
+    assert np.isfinite(pos[real]).all()
+    rho = np.asarray(out_state.density)[real]
+    assert rho.min() > 0, rho.min()
+    assert float(dt) > 0

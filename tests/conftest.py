@@ -2,12 +2,19 @@ import os
 
 # Multi-chip sharding tests run on a virtual 8-device CPU mesh — the
 # standard way to exercise TPU-mesh code paths without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: env vars alone are NOT enough here — this image's sitecustomize
+# registers a TPU-tunnel PJRT backend that outranks JAX_PLATFORMS, so
+# we must also force the platform through jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,150 @@
+"""Engine orchestration: frame loop, callbacks, checkpoint resume, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from libclsph_tpu.engine.simulation import SPHSimulation
+from libclsph_tpu.engine.step import StepConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def write_configs(tmp_path, n=512, sim_time=0.034, serialize=False, write_all=False):
+    (tmp_path / "fluid_properties").mkdir(exist_ok=True)
+    (tmp_path / "simulation_properties").mkdir(exist_ok=True)
+    fluid = dict(
+        fluid_density=998.29,
+        dynamic_viscosity=3.5,
+        restitution=0,
+        k=100,
+        surface_tension_threshold=7.065,
+        surface_tension=0.0728,
+        particles_inside_influence_radius=20,
+    )
+    sim = dict(
+        particles_count=n,
+        particle_mass=0.05,
+        simulation_time=sim_time,
+        target_fps=60,
+        simulation_scale=0.1,
+        write_all_frames=write_all,
+        serialize=serialize,
+        constant_acceleration=dict(x=0, y=-9.8, z=0),
+    )
+    fp = tmp_path / "fluid_properties" / "water.json"
+    sp = tmp_path / "simulation_properties" / "test.json"
+    fp.write_text(json.dumps(fluid))
+    sp.write_text(json.dumps(sim))
+    return str(fp), str(sp)
+
+
+def make_sim(tmp_path, **kw):
+    fp, sp = write_configs(tmp_path, **kw)
+    sim = SPHSimulation(step_config=StepConfig(neighbor_impl="tiles"))
+    sim.load_settings(fp, sp)
+    sim.checkpoint_path = str(tmp_path / "last_frame.npz")
+    return sim
+
+
+class TestSimulation:
+    def test_two_frames_with_callbacks(self, tmp_path):
+        sim = make_sim(tmp_path, n=256, sim_time=0.034)
+        events = []
+        saved = []
+
+        def pre(arrays, p, full):
+            events.append(("pre", full))
+            return False
+
+        def save(arrays, p):
+            saved.append(arrays["position"].copy())
+
+        def post(arrays, p, full):
+            events.append(("post", full))
+            return False
+
+        sim.pre_frame, sim.save_frame, sim.post_frame = pre, save, post
+        sim.simulate()
+        # 3 frames (0, 1/60, 2/60 < 0.034) + the initial save
+        # (sph_simulation.cpp:370-372)
+        assert len(saved) == 4
+        assert events == [("pre", True), ("post", True)] * 3
+        assert np.isfinite(saved[-1]).all()
+        # fluid fell under gravity between frames
+        assert saved[-1][:, 1].mean() < saved[0][:, 1].mean()
+
+    def test_pre_frame_mutation_written_back(self, tmp_path):
+        sim = make_sim(tmp_path, n=256, sim_time=0.017)
+        sentinel = np.float32(123.456)
+
+        def pre(arrays, p, full):
+            arrays["velocity"][:] = 0.0
+            arrays["position"][:, 0] += 0.001
+            return True
+
+        sim.pre_frame = pre
+        sim.simulate()
+        assert sim.state is not None
+
+    def test_serialize_and_resume(self, tmp_path):
+        sim = make_sim(tmp_path, n=256, sim_time=0.017, serialize=True)
+        sim.save_frame = lambda arrays, p: None
+        sim.simulate()
+        assert os.path.exists(sim.checkpoint_path)
+        final_pos = np.asarray(sim.state.position)
+
+        # new simulation resumes from the checkpoint
+        sim2 = make_sim(tmp_path, n=256, sim_time=0.017, serialize=True)
+        state = sim2.init_particles()
+        np.testing.assert_allclose(
+            np.asarray(state.position), final_pos, rtol=1e-6
+        )
+
+    def test_stale_checkpoint_rejected(self, tmp_path):
+        sim = make_sim(tmp_path, n=256, sim_time=0.017, serialize=True)
+        sim.save_frame = lambda arrays, p: None
+        sim.simulate()
+        sim3 = make_sim(tmp_path, n=128, sim_time=0.017)
+        with pytest.raises(RuntimeError):
+            sim3.init_particles()
+
+    def test_write_intermediate_frames_path(self, tmp_path):
+        sim = make_sim(tmp_path, n=256, sim_time=0.017, write_all=True)
+        saves = []
+        sim.save_frame = lambda arrays, p: saves.append(1)
+        sim.simulate()
+        # initial save + one per substep: at least a few substeps/frame
+        assert len(saves) >= 3
+
+
+class TestCLI:
+    def test_cli_end_to_end(self, tmp_path, monkeypatch):
+        from libclsph_tpu import cli
+
+        import shutil
+
+        write_configs(tmp_path, n=256, sim_time=0.017)
+        shutil.copytree(os.path.join(REPO, "scenes"), tmp_path / "scenes")
+        monkeypatch.chdir(tmp_path)
+        code = cli.main(
+            [
+                "water",
+                "test",
+                "cube",
+                str(tmp_path) + "/out_",
+                "--root",
+                str(tmp_path),
+            ]
+        )
+        assert code == 0
+        frames = os.listdir(str(tmp_path) + "/out_frames")
+        assert "frame0000001.geo" in frames
+
+    def test_cli_bad_fluid(self, tmp_path, capsys):
+        from libclsph_tpu import cli
+
+        code = cli.main(["nope", "nope", "cube", "x_", "--root", str(tmp_path)])
+        assert code == -1

@@ -1,0 +1,111 @@
+"""Multi-chip sharded step on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from libclsph_tpu.core.state import init_state
+from libclsph_tpu.engine.step import StepConfig, substep_jit
+from libclsph_tpu.parallel.mesh import AXIS, make_mesh, morton_partition
+from libclsph_tpu.parallel.sharded_step import (
+    dryrun,
+    make_sharded_substep,
+    pad_for_mesh,
+)
+
+from conftest import WATER, make_params
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+def shard_state(state, mesh):
+    sharding = NamedSharding(mesh, P(AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+class TestShardedStep:
+    def test_dryrun(self):
+        dryrun(8)
+
+    def test_matches_single_chip(self):
+        """The sharded step must produce the same physics as the
+        single-chip tiles step (up to f32 summation order)."""
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        state0 = init_state(params)
+        dt = jnp.float32(params.max_dt)
+
+        # single chip
+        s1, dt1 = substep_jit(state0, dt, params, None, cfg)
+
+        # sharded
+        mesh = make_mesh(jax.devices()[:8])
+        sp = pad_for_mesh(state0, params, mesh, cfg)
+        sp = shard_state(sp, mesh)
+        step = make_sharded_substep(mesh, params, None, cfg)
+        s8, dt8 = step(sp, dt)
+
+        pos8 = np.asarray(s8.position)
+        real = np.abs(pos8).max(axis=1) < 1e30
+        assert real.sum() == params.particles_count
+
+        # compare via position-sorted rows
+        def key(pos):
+            q = np.round(np.asarray(pos, np.float64), 6)
+            return np.lexsort(q.T)
+
+        p1 = np.asarray(s1.position)
+        o1 = key(p1)
+        p8 = pos8[real]
+        o8 = key(p8)
+        np.testing.assert_allclose(p1[o1], p8[o8], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s1.density)[o1],
+            np.asarray(s8.density)[real][o8],
+            rtol=1e-5,
+        )
+        a1 = np.asarray(s1.acceleration)[o1]
+        a8 = np.asarray(s8.acceleration)[real][o8]
+        scale = np.abs(a1).max()
+        np.testing.assert_allclose(a1, a8, atol=5e-4 * scale)
+        assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
+
+    def test_multiple_steps_stable(self):
+        params = make_params(WATER, n=512)
+        cfg = StepConfig(neighbor_impl="tiles", block_size=64, max_candidates=32)
+        mesh = make_mesh(jax.devices()[:4])
+        state = pad_for_mesh(init_state(params), params, mesh, cfg)
+        state = shard_state(state, mesh)
+        step = make_sharded_substep(mesh, params, None, cfg)
+        dt = jnp.float32(params.max_dt)
+        for _ in range(5):
+            state, dt = step(state, dt)
+        pos = np.asarray(state.position)
+        real = np.abs(pos).max(axis=1) < 1e30
+        assert np.isfinite(pos[real]).all()
+        assert real.sum() == params.particles_count
+
+
+class TestMortonPartition:
+    def test_partition_is_permutation(self, rng):
+        pos = rng.random((1000, 3)).astype(np.float32)
+        order = morton_partition(pos, 8)
+        assert sorted(order.tolist()) == list(range(1000))
+
+    def test_shards_spatially_compact(self, rng):
+        """After partitioning, per-shard bounding volumes should be much
+        smaller than the global volume."""
+        pos = rng.random((4096, 3)).astype(np.float32)
+        order = morton_partition(pos, 8)
+        shards = np.array_split(pos[order], 8)
+        vol = lambda p: np.prod(p.max(0) - p.min(0) + 1e-9)
+        total = vol(pos)
+        mean_shard = np.mean([vol(s) for s in shards])
+        assert mean_shard < total / 3
