@@ -58,7 +58,7 @@ def main():
     ap.add_argument("--scene", default="none", choices=["none", "cube", "box"])
     ap.add_argument("--impl", default="tiles", choices=["tiles", "exact"])
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--max-candidates", type=int, default=48)
+    ap.add_argument("--max-candidates", type=int, default=64)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
@@ -96,14 +96,17 @@ def main():
 
     # warmup + compile
     t0 = time.perf_counter()
+    overflow = None
     for _ in range(args.warmup):
-        state, dt = substep_jit(state, dt, params, scene_dev, cfg)
+        state, dt, overflow = substep_jit(state, dt, params, scene_dev, cfg)
     jax.block_until_ready(state.position)
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+    if bool(overflow):
+        log("WARNING: neighbour capacity overflow, raise --max-candidates")
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, dt = substep_jit(state, dt, params, scene_dev, cfg)
+        state, dt, _ovf = substep_jit(state, dt, params, scene_dev, cfg)
     jax.block_until_ready(state.position)
     elapsed = time.perf_counter() - t0
 

@@ -41,7 +41,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--neighbor-impl", choices=["tiles", "exact"], default="tiles"
     )
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--max-candidates", type=int, default=48)
+    ap.add_argument("--max-candidates", type=int, default=64)
     ap.add_argument("--tile-mode", choices=["direct", "mxu"], default="direct")
     ap.add_argument(
         "--confirm", action="store_true",

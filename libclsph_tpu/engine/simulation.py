@@ -24,6 +24,7 @@ The structural differences are the TPU-native wins:
 
 from __future__ import annotations
 
+import dataclasses
 import time as _time
 from typing import Callable, Optional
 
@@ -40,6 +41,8 @@ from ..ops import collisions as collisions_ops
 from ..scene.scene import Scene
 from ..utils.logging import get_logger
 from .step import StepConfig, frame_jit, substep_jit
+
+MAX_CAPACITY_RETRIES = 6
 
 log = get_logger(__name__)
 
@@ -63,6 +66,7 @@ class SPHSimulation:
         self.save_frame: Optional[SaveCallback] = None
         self.post_frame: Optional[Callback] = None
         self.step_config = step_config or StepConfig()
+        self.capacity_retries = 0
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
         # filled by simulate()
         self.state: Optional[ParticleState] = None
@@ -130,6 +134,29 @@ class SPHSimulation:
             grid_index=jnp.asarray(arrays["grid_index"], jnp.uint32),
         )
 
+    def _grow_capacity(self):
+        """Neighbour-capacity autotune: a substep reported that its
+        static candidate/cell capacity truncated real neighbours.
+        Double the relevant knob and recompile (new StepConfig = new
+        jit cache entry); the caller re-runs the frame from its saved
+        pre-frame state, so no corrupted step is ever kept."""
+        cfg = self.step_config
+        self.capacity_retries += 1
+        if self.capacity_retries > MAX_CAPACITY_RETRIES:
+            raise RuntimeError(
+                "neighbour capacity keeps overflowing; the particle "
+                "distribution is degenerate (all particles in one cell?)"
+            )
+        if cfg.neighbor_impl == "tiles":
+            cfg = dataclasses.replace(cfg, max_candidates=cfg.max_candidates * 2)
+        else:
+            cfg = dataclasses.replace(cfg, cell_capacity=cfg.cell_capacity * 2)
+        log.warning(
+            "neighbour capacity overflow - growing to %s and re-running frame",
+            cfg.max_candidates if cfg.neighbor_impl == "tiles" else cfg.cell_capacity,
+        )
+        self.step_config = cfg
+
     def _save(self, saver: AsyncSaver, arrays: dict):
         p = self.parameters
         save_cb = self.save_frame
@@ -177,8 +204,16 @@ class SPHSimulation:
                     state = self._upload(arrays)
 
             if fast_path:
-                # whole frame on device — one dispatch, zero host syncs
-                state, dt = frame_jit(state, dt, p, self.device_scene, cfg)
+                # whole frame on device — one dispatch; one scalar
+                # (the capacity flag) read back per frame
+                while True:
+                    new_state, new_dt, ovf = frame_jit(
+                        state, dt, p, self.device_scene, self.step_config
+                    )
+                    if not bool(ovf):
+                        state, dt = new_state, new_dt
+                        break
+                    self._grow_capacity()
                 arrays = None
             else:
                 timeleft = timeperframe
@@ -188,9 +223,14 @@ class SPHSimulation:
                             arrays = self._fetch(state)
                         if self.pre_frame(arrays, p, False):
                             state = self._upload(arrays)
-                    state, dt_dev = substep_jit(
-                        state, dt, p, self.device_scene, cfg
-                    )
+                    while True:
+                        new_state, dt_dev, ovf = substep_jit(
+                            state, dt, p, self.device_scene, self.step_config
+                        )
+                        if not bool(ovf):
+                            state = new_state
+                            break
+                        self._grow_capacity()
                     arrays = None
                     dt_f = float(dt_dev)
                     timeleft -= dt_f

@@ -42,7 +42,7 @@ class StepConfig:
     neighbor_impl: str = "tiles"  # 'tiles' | 'exact'
     cell_capacity: int = 96  # exact path: max particles per grid cell
     block_size: int = 128  # tiles path: particles per tile
-    max_candidates: int = 48  # tiles path: candidate blocks per tile
+    max_candidates: int = 64  # tiles path: candidate blocks per tile
     tile_mode: str = "direct"  # tiles path: 'direct' | 'mxu'
     adaptive_dt: bool = True
 
@@ -84,7 +84,8 @@ def _density_forces_exact(
         terms,
     )
     accel = interactions_ops.combine_forces(f, density, params)
-    return density, pressure, accel
+    overflow = neighbors_ops.max_cell_occupancy(sorted_codes) > config.cell_capacity
+    return density, pressure, accel, overflow
 
 
 def _density_forces_tiles(
@@ -104,8 +105,8 @@ def _density_forces_tiles(
         real,
         cfg.block_size,
     )
-    bmin, bmax = tiles_ops.block_bounds(blocked.position, blocked.real)
-    cand, count, _overflow = tiles_ops.candidate_blocks(
+    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
+    cand, count, overflow = tiles_ops.candidate_blocks(
         bmin, bmax, params.h, cfg.max_candidates
     )
 
@@ -118,7 +119,7 @@ def _density_forces_tiles(
         pressure=pressure.reshape(blocked.pressure.shape),
     )
     accel = tiles_ops.force_pass(blocked, cand, count, params, terms, cfg)
-    return density, pressure, accel
+    return density, pressure, accel, overflow
 
 
 def _advect_collide(
@@ -157,7 +158,12 @@ def substep(
     scene: Optional[collisions_ops.DeviceScene],
     config: StepConfig,
 ):
-    """One SPH substep. Returns (new_state_in_original_order?, dt_next).
+    """One SPH substep. Returns (new_state, dt_next, overflow).
+
+    ``overflow`` (device bool scalar) reports that the static neighbour
+    capacity (tile candidate cap / exact-path cell capacity) truncated
+    real neighbours this step; the engine responds by re-running the
+    frame at a larger capacity (see engine/simulation.py autotune).
 
     Note: like the reference (which ping-pongs buffers and never
     un-sorts), the returned state is in Morton-sorted order — particle
@@ -196,9 +202,11 @@ def substep(
     # ---- density + pressure, forces
     if config.neighbor_impl == "tiles":
         real = jnp.arange(state.n, dtype=jnp.int32) < jnp.int32(n)
-        density, pressure, accel = _density_forces_tiles(state, real, params, config)
+        density, pressure, accel, overflow = _density_forces_tiles(
+            state, real, params, config
+        )
     else:
-        density, pressure, accel = _density_forces_exact(
+        density, pressure, accel, overflow = _density_forces_exact(
             state, sorted_codes, params, config
         )
     state = state.replace(density=density, pressure=pressure, acceleration=accel)
@@ -233,7 +241,7 @@ def substep(
     else:
         final_state, dt_out = first_state, first_dt
 
-    return final_state, dt_out
+    return final_state, dt_out, overflow
 
 
 @partial(jax.jit, static_argnames=("params", "config"))
@@ -245,22 +253,25 @@ def substep_jit(state, dt, params, scene, config):
 def frame_jit(state, dt, params, scene, config):
     """A whole frame's substep loop on device (sph_simulation.cpp:384-409).
 
-    Carries (state, dt, timeleft); loops until the frame time budget is
-    exhausted, clamping dt to timeleft exactly like the host loop
-    (:391-394). Returns (state, dt) ready for the next frame.
+    Carries (state, dt, timeleft, overflow); loops until the frame time
+    budget is exhausted, clamping dt to timeleft exactly like the host
+    loop (:391-394). Returns (state, dt, overflow) ready for the next
+    frame; ``overflow`` ORs the per-substep capacity flags.
     """
     timeperframe = jnp.float32(params.frame_time)
 
     def cond(carry):
-        _, _, timeleft = carry
+        _, _, timeleft, _ = carry
         return timeleft > 0.0
 
     def body(carry):
-        st, dt_cur, timeleft = carry
-        st, dt_next = substep(st, dt_cur, params, scene, config)
+        st, dt_cur, timeleft, ovf = carry
+        st, dt_next, ovf_step = substep(st, dt_cur, params, scene, config)
         timeleft = timeleft - dt_next
         dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)
-        return st, dt_next, timeleft
+        return st, dt_next, timeleft, ovf | ovf_step
 
-    state, dt, _ = jax.lax.while_loop(cond, body, (state, dt, timeperframe))
-    return state, dt
+    state, dt, _, overflow = jax.lax.while_loop(
+        cond, body, (state, dt, timeperframe, jnp.asarray(False))
+    )
+    return state, dt, overflow

@@ -44,7 +44,7 @@ SENTINEL_CODE = jnp.uint32((1 << 30) - 1)
 
 class TileConfig(NamedTuple):
     block_size: int = 128  # B — particles per tile
-    max_candidates: int = 48  # padded candidate blocks per block
+    max_candidates: int = 64  # padded candidate blocks per block
     mode: str = "direct"  # 'direct' (exact rvec) | 'mxu' (matmul r^2)
 
 
@@ -65,6 +65,43 @@ def block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
     return bmin, bmax
 
 
+def split_block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
+    """Two AABBs per block, split at the largest intra-block spatial gap.
+
+    The Morton curve occasionally jumps across octant boundaries, so a
+    fixed-size block can contain two distant particle runs; a single
+    AABB then spans the gap and overlaps far more blocks than the
+    particles do (observed 210 overlaps vs ~10 real at 64k particles).
+    Splitting at the argmax position jump makes each half compact.
+
+    Returns (bmin, bmax) of shape (nb, 2, 3). Empty halves produce
+    inverted boxes that overlap nothing.
+    """
+    big = jnp.float32(3.0e38)
+    nb, b, _ = pos_blocked.shape
+    # jump[k] = |p[k+1] - p[k]| between consecutive sorted particles
+    jump = jnp.linalg.norm(pos_blocked[:, 1:] - pos_blocked[:, :-1], axis=-1)
+    jump = jnp.where(real_blocked[:, 1:] & real_blocked[:, :-1], jump, -1.0)
+    split = jnp.argmax(jump, axis=1) + 1  # (nb,) first index of half 2
+    idx = jnp.arange(b, dtype=jnp.int32)[None, :]
+    in_first = (idx < split[:, None]) & real_blocked
+    in_second = (idx >= split[:, None]) & real_blocked
+
+    def box(mask):
+        m = mask[..., None]
+        return (
+            jnp.min(jnp.where(m, pos_blocked, big), axis=1),
+            jnp.max(jnp.where(m, pos_blocked, -big), axis=1),
+        )
+
+    min1, max1 = box(in_first)
+    min2, max2 = box(in_second)
+    return (
+        jnp.stack([min1, min2], axis=1),
+        jnp.stack([max1, max2], axis=1),
+    )
+
+
 def candidate_blocks(
     bmin: jnp.ndarray,
     bmax: jnp.ndarray,
@@ -72,32 +109,53 @@ def candidate_blocks(
     max_candidates: int,
     cand_bmin: jnp.ndarray | None = None,
     cand_bmax: jnp.ndarray | None = None,
+    self_index: jnp.ndarray | None = None,
 ):
-    """Padded candidate-block lists from dilated AABB overlap.
+    """Padded candidate-block lists from dilated split-AABB overlap.
 
-    Query boxes (nb) x candidate boxes (nc; defaults to the query set).
+    ``bmin``/``bmax``: (nb, 2, 3) split boxes from
+    :func:`split_block_bounds` (query side); candidate side defaults to
+    the query set. ``self_index``: each query block's own index in the
+    candidate table (defaults to identity when the sets coincide) — the
+    own block is always emitted in slot 0 so a capacity overflow can
+    never drop a particle's self-interaction.
+
     Returns (cand (nb, M) int32, count (nb,) int32, overflowed () bool).
-    Blocks with no real particles (empty AABB) never overlap anything.
+    ``overflowed`` means some true neighbour blocks were dropped; the
+    engine reacts by re-running with a larger cap (engine/autotune).
+    Blocks with no real particles (empty AABBs) never overlap anything.
     """
     if cand_bmin is None:
         cand_bmin, cand_bmax = bmin, bmax
     nb = bmin.shape[0]
     nc = cand_bmin.shape[0]
-    lo = bmin - h
+    if self_index is None:
+        self_index = jnp.arange(nb, dtype=jnp.int32)
+
+    lo = bmin - h  # (nb, 2, 3)
     hi = bmax + h
-    overlap = jnp.all(
-        (lo[:, None, :] <= cand_bmax[None, :, :])
-        & (hi[:, None, :] >= cand_bmin[None, :, :]),
-        axis=-1,
-    )  # (nb, nc)
-    pos = jnp.cumsum(overlap.astype(jnp.int32), axis=1) - 1
+    # any-of-4 half-box overlap combinations, accumulated to bound memory
+    overlap = jnp.zeros((nb, nc), bool)
+    for a in range(2):
+        for c in range(2):
+            overlap = overlap | jnp.all(
+                (lo[:, None, a, :] <= cand_bmax[None, :, c, :])
+                & (hi[:, None, a, :] >= cand_bmin[None, :, c, :]),
+                axis=-1,
+            )
+    # reserve slot 0 for the own block
+    is_self = (
+        jnp.arange(nc, dtype=jnp.int32)[None, :] == self_index[:, None]
+    )
+    others = overlap & ~is_self
+    pos = jnp.cumsum(others.astype(jnp.int32), axis=1)  # 1-based slots
     row_count = pos[:, -1] + 1
-    valid = overlap & (pos < max_candidates)
-    # Scatter j into slot pos; invalid entries land in a trash column.
+    valid = others & (pos < max_candidates)
     slot = jnp.where(valid, pos, max_candidates)
     rows = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, nc))
     cols = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32)[None, :], (nb, nc))
     cand = jnp.zeros((nb, max_candidates + 1), jnp.int32)
+    cand = cand.at[:, 0].set(self_index)
     cand = cand.at[rows, slot].set(cols, mode="drop")
     count = jnp.minimum(row_count, max_candidates)
     return cand[:, :max_candidates], count, jnp.any(row_count > max_candidates)

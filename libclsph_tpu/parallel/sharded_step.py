@@ -100,7 +100,7 @@ def _local_substep(
         cfg.block_size,
         gid_offset=shard * n_local,
     )
-    bmin, bmax = tiles_ops.block_bounds(blocked.position, blocked.real)
+    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
 
     # all-gather global block tables over ICI
     gather = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
@@ -110,8 +110,11 @@ def _local_substep(
     g_real = gather(blocked.real)
     g_gid = gather(blocked.gid)
 
-    cand, count, _ovf = tiles_ops.candidate_blocks(
-        bmin, bmax, params.h, cfg.max_candidates, g_bmin, g_bmax
+    nb_local = bmin.shape[0]
+    self_index = shard * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
+    cand, count, overflow = tiles_ops.candidate_blocks(
+        bmin, bmax, params.h, cfg.max_candidates, g_bmin, g_bmax,
+        self_index=self_index,
     )
 
     cand_fields_pos = tiles_ops.BlockedFields(
@@ -198,7 +201,8 @@ def _local_substep(
     else:
         final_state, dt_out = first_state, first_dt
 
-    return final_state, dt_out
+    overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
+    return final_state, dt_out, overflow
 
 
 def make_sharded_substep(
@@ -234,7 +238,7 @@ def make_sharded_substep(
         ),
         mesh=mesh,
         in_specs=(state_specs, P()),
-        out_specs=(state_specs, P()),
+        out_specs=(state_specs, P(), P()),
         check_rep=False,
     )
     return jax.jit(fn)
@@ -313,7 +317,8 @@ def dryrun(n_devices: int) -> None:
     state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
 
     step = make_sharded_substep(mesh, params, None, config)
-    out_state, dt = step(state, jnp.float32(params.max_dt))
+    out_state, dt, overflow = step(state, jnp.float32(params.max_dt))
+    assert not bool(overflow)
     jax.block_until_ready(out_state.position)
 
     pos = np.asarray(out_state.position)

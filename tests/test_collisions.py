@@ -190,7 +190,7 @@ class TestEndToEndContainment:
         cfg = StepConfig(neighbor_impl="tiles")
         dt = jnp.float32(params.max_dt)
         for _ in range(40):
-            state, dt = substep_jit(state, dt, params, dev_scene, cfg)
+            state, dt, _ovf = substep_jit(state, dt, params, dev_scene, cfg)
         pos = np.asarray(state.position)
         assert np.isfinite(pos).all()
         # allow a small penetration margin; no mass fall-through

@@ -43,14 +43,15 @@ class TestShardedStep:
         dt = jnp.float32(params.max_dt)
 
         # single chip
-        s1, dt1 = substep_jit(state0, dt, params, None, cfg)
+        s1, dt1, _ = substep_jit(state0, dt, params, None, cfg)
 
         # sharded
         mesh = make_mesh(jax.devices()[:8])
         sp = pad_for_mesh(state0, params, mesh, cfg)
         sp = shard_state(sp, mesh)
         step = make_sharded_substep(mesh, params, None, cfg)
-        s8, dt8 = step(sp, dt)
+        s8, dt8, ovf8 = step(sp, dt)
+        assert not bool(ovf8)
 
         pos8 = np.asarray(s8.position)
         real = np.abs(pos8).max(axis=1) < 1e30
@@ -86,7 +87,7 @@ class TestShardedStep:
         step = make_sharded_substep(mesh, params, None, cfg)
         dt = jnp.float32(params.max_dt)
         for _ in range(5):
-            state, dt = step(state, dt)
+            state, dt, _ovf = step(state, dt)
         pos = np.asarray(state.position)
         real = np.abs(pos).max(axis=1) < 1e30
         assert np.isfinite(pos[real]).all()

@@ -40,7 +40,8 @@ def run_density_forces(state, params, impl):
     """Drive one substep with dt tiny and adaptive off; recover the
     density/pressure/accel the pass computed."""
     cfg = StepConfig(neighbor_impl=impl, adaptive_dt=False)
-    out, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+    out, _, overflow = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+    assert not bool(overflow), "neighbour capacity overflow in test setup"
     return out
 
 
