@@ -38,7 +38,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("out_prefix", help="frames folder prefix")
     ap.add_argument("--partio", action="store_true", help="write .bgeo instead of .geo")
     ap.add_argument(
-        "--neighbor-impl", choices=["tiles", "exact"], default="tiles"
+        "--neighbor-impl", choices=["tiles", "pallas", "exact"], default="tiles"
     )
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=64)

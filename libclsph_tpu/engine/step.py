@@ -39,7 +39,7 @@ from ..ops import tiles as tiles_ops
 class StepConfig:
     """Static knobs of the substep pipeline."""
 
-    neighbor_impl: str = "tiles"  # 'tiles' | 'exact'
+    neighbor_impl: str = "tiles"  # 'tiles' | 'pallas' | 'exact'
     cell_capacity: int = 96  # exact path: max particles per grid cell
     block_size: int = 128  # tiles path: particles per tile
     max_candidates: int = 64  # tiles path: candidate blocks per tile
@@ -122,6 +122,48 @@ def _density_forces_tiles(
     return density, pressure, accel, overflow
 
 
+def _density_forces_pallas(
+    state: ParticleState,
+    real: jnp.ndarray,
+    params: SimulationParameters,
+    config: StepConfig,
+):
+    """Fused Pallas kernels (ops/pallas/neighbor.py) behind the same
+    candidate machinery as the tiles path."""
+    from ..ops.pallas import neighbor as pallas_neighbor
+
+    terms = params.precomputed()
+    cfg = config.tile_config()
+
+    blocked = tiles_ops.make_blocked(
+        state.position,
+        state.velocity,
+        state.density,
+        state.pressure,
+        real,
+        cfg.block_size,
+    )
+    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
+    cand, count, overflow = tiles_ops.candidate_blocks(
+        bmin, bmax, params.h, cfg.max_candidates
+    )
+
+    planes = pallas_neighbor.make_planes(
+        state.position,
+        state.velocity,
+        state.density,
+        state.pressure,
+        real,
+        cfg.block_size,
+    )
+    density = pallas_neighbor.fused_density(planes, cand, count, params, terms, real)
+    pressure = interactions_ops.tait_pressure(density, params)
+    pressure = jnp.where(real, pressure, 0.0)
+    planes = pallas_neighbor.with_updated_fields(planes, density, pressure)
+    accel = pallas_neighbor.fused_forces(planes, cand, count, params, terms, real)
+    return density, pressure, accel, overflow
+
+
 def _advect_collide(
     state: ParticleState,
     scene: Optional[collisions_ops.DeviceScene],
@@ -177,7 +219,7 @@ def substep(
     grid = grid_ops.compute_bounds(state.position, params)
     codes = grid_ops.locate_in_grid(state.position, grid)
 
-    if config.neighbor_impl == "tiles":
+    if config.neighbor_impl in ("tiles", "pallas"):
         # pad to a whole number of blocks; sentinels sort last
         np_ = tiles_ops.padded_count(n, config.block_size)
         pad = np_ - n
@@ -200,18 +242,21 @@ def substep(
     state, sorted_codes, _ = grid_ops.sort_by_cell(state, codes)
 
     # ---- density + pressure, forces
-    if config.neighbor_impl == "tiles":
+    if config.neighbor_impl in ("tiles", "pallas"):
         real = jnp.arange(state.n, dtype=jnp.int32) < jnp.int32(n)
-        density, pressure, accel, overflow = _density_forces_tiles(
-            state, real, params, config
+        impl = (
+            _density_forces_tiles
+            if config.neighbor_impl == "tiles"
+            else _density_forces_pallas
         )
+        density, pressure, accel, overflow = impl(state, real, params, config)
     else:
         density, pressure, accel, overflow = _density_forces_exact(
             state, sorted_codes, params, config
         )
     state = state.replace(density=density, pressure=pressure, acceleration=accel)
 
-    if config.neighbor_impl == "tiles":
+    if config.neighbor_impl in ("tiles", "pallas"):
         # drop sentinel tail before integration
         state = jax.tree.map(lambda a: a[:n], state)
 

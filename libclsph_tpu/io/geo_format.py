@@ -21,6 +21,36 @@ from typing import IO
 
 import numpy as np
 
+try:  # optional C++ serializer (native/geo_writer.cpp)
+    import _libclsph_native as _native
+except ImportError:  # pragma: no cover - depends on build
+    _native = None
+
+
+def have_native() -> bool:
+    return _native is not None
+
+
+def write_geo_file(
+    path: str,
+    position: np.ndarray,
+    velocity: np.ndarray,
+    color: np.ndarray,
+    mass: float,
+) -> None:
+    """Write a frame to ``path``, preferring the native serializer."""
+    if _native is not None:
+        _native.write_geo(
+            path,
+            np.ascontiguousarray(position, dtype=np.float32),
+            np.ascontiguousarray(velocity, dtype=np.float32),
+            np.ascontiguousarray(color, dtype=np.float32),
+            float(mass),
+        )
+        return
+    with open(path, "w") as f:
+        dump_geo(f, position, velocity, color, mass)
+
 
 def _fmt_float_array(a: np.ndarray) -> np.ndarray:
     """Format floats the way C++ ostream<< does by default: 6

@@ -67,10 +67,9 @@ class HoudiniFileSaver:
                     parameters.h,
                 )
         else:
-            with open(file_name, "w") as f:
-                geo_format.dump_geo(
-                    f, position, velocity, color, parameters.particle_mass
-                )
+            geo_format.write_geo_file(
+                file_name, position, velocity, color, parameters.particle_mass
+            )
         return 0
 
     # snake_case is idiomatic here; keep the reference's exact method

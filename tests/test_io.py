@@ -162,3 +162,30 @@ class TestHoudiniSaver:
         saver.write_frame_to_file(arrays, p)
         files = sorted(os.listdir(tmp_path / "frames"))
         assert files == ["frame0000001.geo", "frame0000002.geo"]
+
+
+class TestNativeSerializer:
+    """C++ serializer (native/geo_writer.cpp) vs the NumPy fallback."""
+
+    def test_native_matches_python(self, tmp_path):
+        pytest.importorskip("_libclsph_native")
+        import _libclsph_native as native
+
+        rng = np.random.default_rng(3)
+        n = 500
+        pos = (rng.standard_normal((n, 3)) * 10).astype(np.float32)
+        vel = rng.standard_normal((n, 3)).astype(np.float32)
+        col = rng.random((n, 3)).astype(np.float32)
+        p = str(tmp_path / "native.geo")
+        native.write_geo(p, pos, vel, col, 0.05)
+        expected = geo_format.geo_string(pos, vel, col, 0.05)
+        assert open(p).read() == expected
+
+    def test_write_geo_file_roundtrip(self, tmp_path):
+        pos = np.zeros((4, 3), np.float32)
+        vel = np.zeros((4, 3), np.float32)
+        col = np.zeros((4, 3), np.float32)
+        p = str(tmp_path / "frame.geo")
+        geo_format.write_geo_file(p, pos, vel, col, 0.01)
+        content = open(p).read()
+        assert content.startswith("PGEOMETRY V5\nNPoints 4")
