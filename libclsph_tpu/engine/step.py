@@ -155,12 +155,23 @@ def _density_forces_pallas(
         state.pressure,
         real,
         cfg.block_size,
+        mass=params.particle_mass,
     )
     density = pallas_neighbor.fused_density(planes, cand, count, params, terms, real)
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(real, pressure, 0.0)
-    planes = pallas_neighbor.with_updated_fields(planes, density, pressure)
-    accel = pallas_neighbor.fused_forces(planes, cand, count, params, terms, real)
+    planes = pallas_neighbor.make_planes(
+        state.position,
+        state.velocity,
+        density,
+        pressure,
+        real,
+        cfg.block_size,
+        mass=params.particle_mass,
+    )
+    accel = pallas_neighbor.fused_forces(
+        planes, cand, count, params, terms, real, density
+    )
     return density, pressure, accel, overflow
 
 

@@ -53,6 +53,10 @@ class PlanePytree(NamedTuple):
 
     ``*_c``: (nb, B, 1) column layout (query side);
     ``*_r``: (nb, 1, B) row layout (candidate side).
+    ``pm`` = mass * pressure / rho^2 (the symmetrised-pressure factor,
+    Kelager 4.11), ``mr`` = mass / rho — both premultiplied host-side so
+    the pair tile does no divides; sentinel rows carry zeros, which
+    doubles as the validity mask for the force terms.
     """
 
     px_c: jnp.ndarray
@@ -61,8 +65,7 @@ class PlanePytree(NamedTuple):
     vx_c: jnp.ndarray
     vy_c: jnp.ndarray
     vz_c: jnp.ndarray
-    rho_c: jnp.ndarray
-    press_c: jnp.ndarray
+    pm_c: jnp.ndarray
     gid_c: jnp.ndarray
     px_r: jnp.ndarray
     py_r: jnp.ndarray
@@ -70,8 +73,8 @@ class PlanePytree(NamedTuple):
     vx_r: jnp.ndarray
     vy_r: jnp.ndarray
     vz_r: jnp.ndarray
-    rho_r: jnp.ndarray
-    press_r: jnp.ndarray
+    pm_r: jnp.ndarray
+    mr_r: jnp.ndarray
     real_r: jnp.ndarray  # f32 0/1
     gid_r: jnp.ndarray
 
@@ -84,12 +87,17 @@ class PlanePytree(NamedTuple):
         return self.px_c.shape[1]
 
 
-def make_planes(position, velocity, density, pressure, real, block_size, gid_offset=0):
+def make_planes(position, velocity, density, pressure, real, block_size,
+                mass=1.0, gid_offset=0):
     n = position.shape[0]
     nb = n // block_size
     col = lambda a: a.reshape(nb, block_size, 1)
     row = lambda a: a.reshape(nb, 1, block_size)
     gid = jnp.arange(n, dtype=jnp.int32) + gid_offset
+    realf = real.astype(jnp.float32)
+    safe_rho = jnp.where(density > 0, density, 1.0)
+    pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
+    mr = jnp.where(real, mass / safe_rho, 0.0)
     return PlanePytree(
         px_c=col(position[:, 0]),
         py_c=col(position[:, 1]),
@@ -97,8 +105,7 @@ def make_planes(position, velocity, density, pressure, real, block_size, gid_off
         vx_c=col(velocity[:, 0]),
         vy_c=col(velocity[:, 1]),
         vz_c=col(velocity[:, 2]),
-        rho_c=col(density),
-        press_c=col(pressure),
+        pm_c=col(pm),
         gid_c=col(gid),
         px_r=row(position[:, 0]),
         py_r=row(position[:, 1]),
@@ -106,20 +113,10 @@ def make_planes(position, velocity, density, pressure, real, block_size, gid_off
         vx_r=row(velocity[:, 0]),
         vy_r=row(velocity[:, 1]),
         vz_r=row(velocity[:, 2]),
-        rho_r=row(density),
-        press_r=row(pressure),
-        real_r=row(real.astype(jnp.float32)),
+        pm_r=row(pm),
+        mr_r=row(mr),
+        real_r=row(realf),
         gid_r=row(gid),
-    )
-
-
-def with_updated_fields(planes: PlanePytree, density, pressure) -> PlanePytree:
-    nb, b = planes.nb, planes.b
-    return planes._replace(
-        rho_c=density.reshape(nb, b, 1),
-        press_c=pressure.reshape(nb, b, 1),
-        rho_r=density.reshape(nb, 1, b),
-        press_r=pressure.reshape(nb, 1, b),
     )
 
 
@@ -163,10 +160,11 @@ def _density_kernel(
         dy = qy[0] - cy[0]
         dz = qz[0] - cz[0]
         r2 = dx * dx + dy * dy + dz * dz
-        r = jnp.sqrt(r2)
-        # poly6 with the reference's hard cutoff factor (smoothing.cl:1-4)
-        cut = 1.0 - jnp.clip(jnp.floor(r / h), 0.0, 1.0)
-        w = cut * poly6 * (h * h - r2) ** 3 * creal[0]
+        # poly6 needs only r^2; the reference's floor(r/h) cutoff factor
+        # (smoothing.cl:1-4) is exactly the r<h predicate
+        t = h * h - r2
+        mask = jnp.where(r2 < h * h, poly6, 0.0) * creal[0]
+        w = mask * (t * t * t)
         out[...] += jnp.sum(w, axis=1, keepdims=True).reshape(1, -1, 1)
 
 
@@ -222,21 +220,25 @@ def fused_density(
 def _forces_kernel(
     cand_ref,
     count_ref,
-    # query planes (1, B, 1) each
-    qx, qy, qz, qvx, qvy, qvz, qrho, qpress, qgid,
-    # candidate planes (1, 1, B) each
-    cx, cy, cz, cvx, cvy, cvz, crho, cpress, creal, cgid,
+    # query planes (1, B, 1): pos, vel, mass*press/rho^2, gid(f32-safe int)
+    qx, qy, qz, qvx, qvy, qvz, qpm, qgid,
+    # candidate planes (1, 1, B): pos, vel, mass*press/rho^2, mass/rho, gid
+    cx, cy, cz, cvx, cvy, cvz, cpm, cmr, cgid,
     # outputs (1, B, 1) each: pressure xyz, viscosity xyz, normal xyz, lap
     opx, opy, opz, ovx, ovy, ovz, onx, ony, onz, olap,
     *,
     h: float,
-    mass: float,
     spiky: float,
     visc: float,
     poly6_grad: float,
     poly6_lap: float,
     eps: float,
 ):
+    # NOTE: per-candidate scalars arrive premultiplied (cpm = m*p/rho^2,
+    # cmr = m/rho, zeroed on sentinel rows so no separate 'real' mask or
+    # divides are needed in the pair tile). Masks are carried as f32
+    # multiplications; the support cutoff is the r2 < h2 predicate
+    # (identical to the reference's 1-clamp(floor(r/h)) factor).
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -247,49 +249,51 @@ def _forces_kernel(
 
     @pl.when(m < count_ref[i])
     def _():
+        h2 = h * h
         dx = qx[0] - cx[0]  # (B, B)
         dy = qy[0] - cy[0]
         dz = qz[0] - cz[0]
         r2 = dx * dx + dy * dy + dz * dz
-        r = jnp.sqrt(r2)
-        cut = 1.0 - jnp.clip(jnp.floor(r / h), 0.0, 1.0)
+        incl = (r2 < h2).astype(jnp.float32)  # support cutoff
+        not_self = incl * (qgid[0] != cgid[0]).astype(jnp.float32)
 
-        ok = creal[0]  # (1, B) f32 mask, broadcasts over rows
-        not_self = jnp.where(qgid[0] == cgid[0], 0.0, 1.0) * ok
-        near0 = r < eps
-        safe_r = jnp.where(near0, 1.0, r)
-        inv_crho = mass / crho[0]
+        near0 = r2 < eps * eps
+        inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
+        r = r2 * inv_r
+        hr = h - r
 
         def acc(o, mat):
             o[...] += jnp.sum(mat, axis=1, keepdims=True).reshape(1, -1, 1)
 
-        # pressure (Kelager 4.11, forces.cl:69-76): coeff * spiky_grad
-        crho_r = crho[0]
-        qrho_c = qrho[0]
-        p_coeff = (
-            cpress[0] / (crho_r * crho_r) + qpress[0] / (qrho_c * qrho_c)
-        ) * mass
-        spiky_s = cut * spiky * (h - r) ** 2 / safe_r
-        a_reg = jnp.where(near0, 0.0, p_coeff * spiky_s) * not_self
-        a_sing = jnp.where(near0, p_coeff * spiky, 0.0) * not_self
-        acc(opx, a_reg * dx + a_sing)
-        acc(opy, a_reg * dy + a_sing)
-        acc(opz, a_reg * dz + a_sing)
+        # pressure (Kelager 4.11, forces.cl:69-76)
+        p_coeff = (cpm[0] + qpm[0]) * not_self
+        near0f = near0.astype(jnp.float32)
+        spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
+        a_reg = p_coeff * spiky_s
+        # coincident-pair singular branch (smoothing.cl:23-25): the
+        # constant spiky value on every component
+        sing = jnp.sum(p_coeff * (spiky * near0f), axis=1, keepdims=True)
+        acc(opx, a_reg * dx)
+        acc(opy, a_reg * dy)
+        acc(opz, a_reg * dz)
+        opx[...] += sing.reshape(1, -1, 1)
+        opy[...] += sing.reshape(1, -1, 1)
+        opz[...] += sing.reshape(1, -1, 1)
 
-        # viscosity (forces.cl:78-84)
-        b_mat = not_self * inv_crho * cut * visc * (h - r)
+        # viscosity (forces.cl:78-84); cmr = m/rho_j
+        b_mat = (not_self * visc) * cmr[0] * hr
         acc(ovx, b_mat * (cvx[0] - qvx[0]))
         acc(ovy, b_mat * (cvy[0] - qvy[0]))
         acc(ovz, b_mat * (cvz[0] - qvz[0]))
 
         # colour field normal + laplacian (forces.cl:87-96), self included
-        g_mat = ok * inv_crho * cut * poly6_grad * (h * h - r2) ** 2
+        t = h2 - r2
+        u = (incl * cmr[0]) * t
+        g_mat = (poly6_grad * u) * t
         acc(onx, g_mat * dx)
         acc(ony, g_mat * dy)
         acc(onz, g_mat * dz)
-        l_mat = (
-            ok * inv_crho * cut * poly6_lap * (h * h - r2) * (3.0 * h * h - 7.0 * r2)
-        )
+        l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
         acc(olap, l_mat)
 
 
@@ -300,6 +304,7 @@ def fused_forces(
     params: SimulationParameters,
     terms: PrecomputedKernelValues,
     real_flat: jnp.ndarray,
+    density: jnp.ndarray,
     *,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
@@ -312,7 +317,7 @@ def fused_forces(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, m),
-        in_specs=[_q_spec(b)] * 9 + [_c_spec(b)] * 10,
+        in_specs=[_q_spec(b)] * 8 + [_c_spec(b)] * 9,
         out_specs=[_o_spec(b)] * 10,
     )
 
@@ -321,7 +326,6 @@ def fused_forces(
         functools.partial(
             _forces_kernel,
             h=float(params.h),
-            mass=float(params.particle_mass),
             spiky=float(terms.spiky),
             visc=float(terms.viscosity),
             poly6_grad=float(terms.poly_6_gradient),
@@ -336,17 +340,17 @@ def fused_forces(
         count,
         planes.px_c, planes.py_c, planes.pz_c,
         planes.vx_c, planes.vy_c, planes.vz_c,
-        planes.rho_c, planes.press_c, planes.gid_c,
+        planes.pm_c, planes.gid_c,
         planes.px_r, planes.py_r, planes.pz_r,
         planes.vx_r, planes.vy_r, planes.vz_r,
-        planes.rho_r, planes.press_r, planes.real_r, planes.gid_r,
+        planes.pm_r, planes.mr_r, planes.gid_r,
     )
     press = jnp.stack([o.reshape(-1) for o in outs[0:3]], axis=1)
     visct = jnp.stack([o.reshape(-1) for o in outs[3:6]], axis=1)
     norm = jnp.stack([o.reshape(-1) for o in outs[6:9]], axis=1)
     lap = outs[9].reshape(-1)
 
-    rho = planes.rho_c.reshape(-1)
+    rho = density
     total = -rho[:, None] * press + visct * params.dynamic_viscosity
     nlen = jnp.linalg.norm(norm, axis=-1, keepdims=True)
     apply_st = nlen > params.surface_tension_threshold

@@ -44,6 +44,23 @@ from ..ops import tiles as tiles_ops
 from .mesh import AXIS
 
 
+def _compact_mask(mask: jnp.ndarray, cap: int):
+    """Indices of True entries, padded to ``cap`` slots.
+
+    Returns (idx (cap,) int32, valid (cap,) bool, overflow () bool).
+    """
+    nb = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    total = pos[-1] + 1
+    ok = mask & (pos < cap)
+    slot = jnp.where(ok, pos, cap)
+    idx = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop"
+    )[:cap]
+    valid = jnp.arange(cap, dtype=jnp.int32) < total
+    return idx, valid, total > cap
+
+
 def _local_substep(
     state: ParticleState,
     dt: jnp.ndarray,
@@ -51,9 +68,21 @@ def _local_substep(
     scene: Optional[collisions_ops.DeviceScene],
     config: StepConfig,
     n_shards: int,
+    exchange: str = "all_gather",
+    halo_max: int = 0,
 ):
     """Body run per shard under shard_map. state arrays are the local
-    shard (n_local = padded_n / n_shards rows)."""
+    shard (n_local = padded_n / n_shards rows).
+
+    ``exchange``:
+    * ``all_gather`` — every shard gathers every block (simple,
+      bandwidth ~N per step);
+    * ``halo`` — each shard publishes only its *surface* blocks (those
+      whose dilated AABB reaches another shard's spatial region);
+      traffic ~ boundary area instead of volume. ``halo_max`` bounds
+      the per-shard surface set (overflow reported like the candidate
+      cap).
+    """
     cfg = config.tile_config()
     terms = params.precomputed()
     n_local = state.position.shape[0]
@@ -66,14 +95,14 @@ def _local_substep(
     valid = jnp.isfinite(state.position).all(axis=1) & (
         jnp.abs(state.position).max(axis=1) < 1.0e30
     )
-    pos_min = jnp.min(
+    local_min = jnp.min(
         jnp.where(valid[:, None], state.position, big), axis=0
     )
-    pos_max = jnp.max(
+    local_max = jnp.max(
         jnp.where(valid[:, None], state.position, -big), axis=0
     )
-    pos_min = jax.lax.pmin(pos_min, AXIS)
-    pos_max = jax.lax.pmax(pos_max, AXIS)
+    pos_min = jax.lax.pmin(local_min, AXIS)
+    pos_max = jax.lax.pmax(local_max, AXIS)
     cell = jnp.float32(params.cell_side)
     gmin = pos_min - 2.0 * cell
     gmax = pos_max + 2.0 * cell
@@ -102,53 +131,134 @@ def _local_substep(
     )
     bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
 
-    # all-gather global block tables over ICI
+    # all-gather block tables over ICI (full tables only in
+    # all_gather mode; halo mode gathers surface blocks below)
     gather = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
-    g_bmin = gather(bmin)
-    g_bmax = gather(bmax)
-    g_blocked_pos = gather(blocked.position)
-    g_real = gather(blocked.real)
-    g_gid = gather(blocked.gid)
+    if exchange != "halo":
+        g_bmin = gather(bmin)
+        g_bmax = gather(bmax)
+        g_blocked_pos = gather(blocked.position)
+        g_real = gather(blocked.real)
+        g_gid = gather(blocked.gid)
 
     nb_local = bmin.shape[0]
-    self_index = shard * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
-    cand, count, overflow = tiles_ops.candidate_blocks(
-        bmin, bmax, params.h, cfg.max_candidates, g_bmin, g_bmax,
-        self_index=self_index,
-    )
 
-    cand_fields_pos = tiles_ops.BlockedFields(
-        position=g_blocked_pos,
-        velocity=g_blocked_pos,  # unused in density
-        density=g_real.astype(jnp.float32),  # unused in density
-        pressure=g_real.astype(jnp.float32),  # unused
-        real=g_real,
-        gid=g_gid,
-    )
-    density = tiles_ops.density_pass(
-        blocked, cand, count, params, terms, cfg, cand_fields=cand_fields_pos
-    )
-    pressure = interactions_ops.tait_pressure(density, params)
-    pressure = jnp.where(valid_s, pressure, 0.0)
-    density = jnp.where(valid_s, density, params.fluid_density)
+    if exchange == "halo":
+        # -------- surface-block halo exchange --------
+        # shard spatial boxes (from real-particle bounds computed above)
+        sh_min = gather(local_min[None, :])  # (n_shards, 3)
+        sh_max = gather(local_max[None, :])
+        # does block b's dilated bbox reach any REMOTE shard's box?
+        hdil = jnp.float32(params.h)
+        other = jnp.arange(n_shards) != shard  # (n_shards,)
+        # bmin/bmax are (nb_l, 2, 3) split boxes
+        reach = jnp.any(
+            other[None, None, :]
+            & jnp.all(
+                (bmin[:, :, None, :] - hdil <= sh_max[None, None, :, :])
+                & (bmax[:, :, None, :] + hdil >= sh_min[None, None, :, :]),
+                axis=-1,
+            ),
+            axis=(1, 2),
+        )  # (nb_l,)
+        surf_idx, surf_valid, surf_ovf = _compact_mask(reach, halo_max)
 
-    blocked = blocked._replace(
-        density=density.reshape(blocked.density.shape),
-        pressure=pressure.reshape(blocked.pressure.shape),
-    )
+        def take_blocks(a):
+            return jnp.take(a, surf_idx, axis=0)
 
-    cand_fields = tiles_ops.BlockedFields(
-        position=g_blocked_pos,
-        velocity=gather(blocked.velocity),
-        density=gather(blocked.density),
-        pressure=gather(blocked.pressure),
-        real=g_real,
-        gid=g_gid,
-    )
-    accel = tiles_ops.force_pass(
-        blocked, cand, count, params, terms, cfg, cand_fields=cand_fields
-    )
-    accel = jnp.where(valid_s[:, None], accel, 0.0)
+        inf = jnp.float32(3.0e38)
+        s_bmin = jnp.where(surf_valid[:, None, None], take_blocks(bmin), inf)
+        s_bmax = jnp.where(surf_valid[:, None, None], take_blocks(bmax), -inf)
+        g_s_bmin = gather(s_bmin)  # (n_shards*halo_max, 2, 3)
+        g_s_bmax = gather(s_bmax)
+        # my own surface rows must not duplicate my local blocks
+        row_shard = jnp.arange(n_shards * halo_max, dtype=jnp.int32) // halo_max
+        mine = row_shard == shard
+        g_s_bmin = jnp.where(mine[:, None, None], inf, g_s_bmin)
+        g_s_bmax = jnp.where(mine[:, None, None], -inf, g_s_bmax)
+
+        comb_bmin = jnp.concatenate([bmin, g_s_bmin], axis=0)
+        comb_bmax = jnp.concatenate([bmax, g_s_bmax], axis=0)
+        self_index = jnp.arange(nb_local, dtype=jnp.int32)
+        cand, count, cand_ovf = tiles_ops.candidate_blocks(
+            bmin, bmax, params.h, cfg.max_candidates, comb_bmin, comb_bmax,
+            self_index=self_index,
+        )
+        overflow = cand_ovf | surf_ovf
+
+        def combined_fields(blk):
+            surf = tiles_ops.BlockedFields(
+                position=gather(take_blocks(blk.position)),
+                velocity=gather(take_blocks(blk.velocity)),
+                density=gather(take_blocks(blk.density)),
+                pressure=gather(take_blocks(blk.pressure)),
+                real=gather(take_blocks(blk.real) & surf_valid[:, None]),
+                gid=gather(take_blocks(blk.gid)),
+            )
+            # invalidate my own rows in the gathered table
+            surf = surf._replace(real=surf.real & ~mine[:, None])
+            return tiles_ops.BlockedFields(
+                *[
+                    jnp.concatenate([lo, hi], axis=0)
+                    for lo, hi in zip(blk, surf)
+                ]
+            )
+
+        cand_fields_pos = combined_fields(blocked)
+        density = tiles_ops.density_pass(
+            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields_pos
+        )
+        pressure = interactions_ops.tait_pressure(density, params)
+        pressure = jnp.where(valid_s, pressure, 0.0)
+        density = jnp.where(valid_s, density, params.fluid_density)
+        blocked = blocked._replace(
+            density=density.reshape(blocked.density.shape),
+            pressure=pressure.reshape(blocked.pressure.shape),
+        )
+        cand_fields = combined_fields(blocked)
+        accel = tiles_ops.force_pass(
+            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields
+        )
+        accel = jnp.where(valid_s[:, None], accel, 0.0)
+    else:
+        self_index = shard * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
+        cand, count, overflow = tiles_ops.candidate_blocks(
+            bmin, bmax, params.h, cfg.max_candidates, g_bmin, g_bmax,
+            self_index=self_index,
+        )
+
+        cand_fields_pos = tiles_ops.BlockedFields(
+            position=g_blocked_pos,
+            velocity=g_blocked_pos,  # unused in density
+            density=g_real.astype(jnp.float32),  # unused in density
+            pressure=g_real.astype(jnp.float32),  # unused
+            real=g_real,
+            gid=g_gid,
+        )
+        density = tiles_ops.density_pass(
+            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields_pos
+        )
+        pressure = interactions_ops.tait_pressure(density, params)
+        pressure = jnp.where(valid_s, pressure, 0.0)
+        density = jnp.where(valid_s, density, params.fluid_density)
+
+        blocked = blocked._replace(
+            density=density.reshape(blocked.density.shape),
+            pressure=pressure.reshape(blocked.pressure.shape),
+        )
+
+        cand_fields = tiles_ops.BlockedFields(
+            position=g_blocked_pos,
+            velocity=gather(blocked.velocity),
+            density=gather(blocked.density),
+            pressure=gather(blocked.pressure),
+            real=g_real,
+            gid=g_gid,
+        )
+        accel = tiles_ops.force_pass(
+            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields
+        )
+        accel = jnp.where(valid_s[:, None], accel, 0.0)
 
     state_s = state_s.replace(
         density=density, pressure=pressure, acceleration=accel
@@ -210,11 +320,14 @@ def make_sharded_substep(
     params: SimulationParameters,
     scene: Optional[collisions_ops.DeviceScene],
     config: StepConfig,
+    exchange: str = "all_gather",
+    halo_max: int = 0,
 ):
     """Build the jitted sharded substep for a mesh.
 
     Expects state arrays pre-padded so N_padded is divisible by
-    (n_shards * block_size); see :func:`pad_for_mesh`.
+    (n_shards * block_size); see :func:`pad_for_mesh`. ``exchange`` /
+    ``halo_max``: see :func:`_local_substep`.
     """
     n_shards = mesh.shape[AXIS]
     pspec = P(AXIS)
@@ -235,6 +348,8 @@ def make_sharded_substep(
             scene=scene,
             config=config,
             n_shards=n_shards,
+            exchange=exchange,
+            halo_max=halo_max,
         ),
         mesh=mesh,
         in_specs=(state_specs, P()),

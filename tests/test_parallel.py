@@ -110,3 +110,54 @@ class TestMortonPartition:
         total = vol(pos)
         mean_shard = np.mean([vol(s) for s in shards])
         assert mean_shard < total / 3
+
+
+class TestHaloExchange:
+    def test_halo_matches_all_gather(self):
+        """Surface-block halo exchange must produce identical physics to
+        the full all-gather exchange."""
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        state0 = pad_for_mesh(init_state(params), params, mesh, cfg)
+        state0 = shard_state(state0, mesh)
+        dt = jnp.float32(params.max_dt)
+
+        step_ag = make_sharded_substep(mesh, params, None, cfg)
+        s_ag, dt_ag, ovf_ag = step_ag(state0, dt)
+        assert not bool(ovf_ag)
+
+        nb_local = state0.position.shape[0] // 8 // 64
+        step_halo = make_sharded_substep(
+            mesh, params, None, cfg, exchange="halo", halo_max=nb_local
+        )
+        s_h, dt_h, ovf_h = step_halo(state0, dt)
+        assert not bool(ovf_h)
+
+        np.testing.assert_allclose(
+            np.asarray(s_ag.density), np.asarray(s_h.density), rtol=1e-6
+        )
+        a1 = np.asarray(s_ag.acceleration)
+        a2 = np.asarray(s_h.acceleration)
+        scale = np.abs(a1).max()
+        np.testing.assert_allclose(a1, a2, atol=2e-5 * scale)
+        assert float(dt_ag) == pytest.approx(float(dt_h), rel=1e-6)
+
+    def test_halo_overflow_reported(self):
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        state0 = pad_for_mesh(init_state(params), params, mesh, cfg)
+        state0 = shard_state(state0, mesh)
+        # halo_max=1 cannot hold the surface set of a dense blob
+        step = make_sharded_substep(
+            mesh, params, None, cfg, exchange="halo", halo_max=1
+        )
+        _, _, ovf = step(state0, jnp.float32(params.max_dt))
+        assert bool(ovf)
