@@ -56,7 +56,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--scene", default="none", choices=["none", "cube", "box"])
-    ap.add_argument("--impl", default="tiles", choices=["tiles", "pallas", "exact"])
+    ap.add_argument("--impl", default="pallas", choices=["tiles", "pallas", "exact"])
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=64)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])

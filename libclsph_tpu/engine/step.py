@@ -160,6 +160,7 @@ def _density_forces_pallas(
     density = pallas_neighbor.fused_density(planes, cand, count, params, terms, real)
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(real, pressure, 0.0)
+    # repack with the fresh density/pressure for the force pass
     planes = pallas_neighbor.make_planes(
         state.position,
         state.velocity,

@@ -1,30 +1,40 @@
 """Fused Pallas TPU kernels for the SPH neighbour passes.
 
-The XLA block-tile path (ops/tiles.py) pays two taxes the compiler
-cannot remove:
+The XLA block-tile path (ops/tiles.py) pays taxes the compiler cannot
+remove: every query block scans all ``max_candidates`` slots (masked
+compute is still compute), and the (nb, B, B) pair tensors round-trip
+through HBM between fusion boundaries. These kernels fix both, and
+additionally pack each side's fields into a single array so one grid
+step issues ONE candidate DMA instead of ten.
 
-1. every query block scans all ``max_candidates`` slots even though the
-   mean live count is ~half that (masked compute is still compute);
-2. the (nb, B, B) pair tensors for every kernel term round-trip
-   through HBM between fusion boundaries.
+Layouts (B = block size, nb = number of Morton-sorted blocks):
 
-These kernels fix both.
+* query pack   (nb, F, B, 1) — F field planes, *column* oriented:
+  ``q[0, k]`` is a (B, 1) sublane vector that broadcasts against
+  candidate rows with no in-kernel transpose;
+* candidate pack (nb, F, B) — row oriented: ``c[0, k:k+1, :]`` is a
+  (1, B) lane vector;
+* output pack (nb, F, B, 1) — column oriented accumulators.
 
-Layout: per-coordinate *planes* of the Morton-sorted fields in two
-shapes — query planes column-shaped (nb, B, 1) and candidate planes
-row-shaped (nb, 1, B). Both block cleanly under Mosaic's (8, 128)
-tiling rules (the unit dims are whole-array), and the (B, B) pairwise
-tile is a single VPU broadcast subtract with **no in-kernel
-transposes**: query particles ride the sublanes, candidates the lanes.
+All three tile legally under Mosaic's (8, 128) rules because their
+trailing unit / F dimensions are whole-array.
 
-The grid is (nb, M): query block i stays resident in VMEM while
-candidate slot m sweeps. The candidate block index comes from the
-scalar-prefetched ``cand`` table (pltpu.PrefetchScalarGridSpec) and
-feeds the BlockSpec index_map — the candidate DMA itself is
-data-dependent. Slots at or beyond ``count[i]`` skip all compute via
-``pl.when`` (their DMA still streams a dummy block; 1.5 KB, free).
+The grid is (chunk, M): the query block stays VMEM-resident while the
+candidate slot sweeps; the candidate block index comes from the
+scalar-prefetched ``cand`` table (pltpu.PrefetchScalarGridSpec), which
+drives the BlockSpec index_map — the candidate DMA is data-dependent.
+Slots at or beyond ``count[i]`` skip all compute via ``pl.when``.
+Because the prefetched table lives in SMEM (~1 MB), large runs are
+chunked over query blocks (QUERY_CHUNK) with the candidate pack shared
+across chunks.
 
-Physics computed is identical to ops/tiles.py (and therefore to
+Particle ids ride in an f32 plane as *values* (exact below 2^24; TPU
+denormal flushing forbids the bitcast trick) and self-exclusion
+compares those values. Per-candidate scalars arrive premultiplied
+(pm = m p/rho^2, mr = m/rho, zeroed on sentinel rows) so the pair tile
+does no divides.
+
+Physics is identical to ops/tiles.py (and therefore to
 compute_density_with_grid / compute_internal_forces_with_grid,
 forces.cl:14-111), including the spiky r->0 singular branch and the
 i != j exclusions.
@@ -48,88 +58,82 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
-class PlanePytree(NamedTuple):
-    """Morton-sorted particle fields in kernel-ready layouts.
+# SMEM budget for the scalar-prefetched candidate table
+QUERY_CHUNK = 512
 
-    ``*_c``: (nb, B, 1) column layout (query side);
-    ``*_r``: (nb, 1, B) row layout (candidate side).
-    ``pm`` = mass * pressure / rho^2 (the symmetrised-pressure factor,
-    Kelager 4.11), ``mr`` = mass / rho — both premultiplied host-side so
-    the pair tile does no divides; sentinel rows carry zeros, which
-    doubles as the validity mask for the force terms.
-    """
+MAX_PARTICLES_F32_ID = 1 << 24  # ids stored exactly as f32 values
 
-    px_c: jnp.ndarray
-    py_c: jnp.ndarray
-    pz_c: jnp.ndarray
-    vx_c: jnp.ndarray
-    vy_c: jnp.ndarray
-    vz_c: jnp.ndarray
-    pm_c: jnp.ndarray
-    gid_c: jnp.ndarray
-    px_r: jnp.ndarray
-    py_r: jnp.ndarray
-    pz_r: jnp.ndarray
-    vx_r: jnp.ndarray
-    vy_r: jnp.ndarray
-    vz_r: jnp.ndarray
-    pm_r: jnp.ndarray
-    mr_r: jnp.ndarray
-    real_r: jnp.ndarray  # f32 0/1
-    gid_r: jnp.ndarray
+
+class PlanePack(NamedTuple):
+    """Packed kernel operands (see module docstring for layouts)."""
+
+    q_pos: jnp.ndarray  # (nb, 3, B, 1) px py pz
+    c_pos: jnp.ndarray  # (nb, 4, B)    px py pz realmask
+    q_force: jnp.ndarray  # (nb, 8, B, 1) px py pz vx vy vz pm gid
+    c_force: jnp.ndarray  # (nb, 9, B)    px py pz vx vy vz pm mr gid
 
     @property
     def nb(self):
-        return self.px_c.shape[0]
+        return self.q_pos.shape[0]
 
     @property
     def b(self):
-        return self.px_c.shape[1]
+        return self.q_pos.shape[2]
 
 
-def make_planes(position, velocity, density, pressure, real, block_size,
-                mass=1.0, gid_offset=0):
+def make_planes(
+    position, velocity, density, pressure, real, block_size, mass=1.0, gid_offset=0
+) -> PlanePack:
     n = position.shape[0]
     nb = n // block_size
-    col = lambda a: a.reshape(nb, block_size, 1)
-    row = lambda a: a.reshape(nb, 1, block_size)
-    gid = jnp.arange(n, dtype=jnp.int32) + gid_offset
+    if n + gid_offset >= MAX_PARTICLES_F32_ID:
+        raise ValueError("particle ids exceed exact-f32 range")
     realf = real.astype(jnp.float32)
     safe_rho = jnp.where(density > 0, density, 1.0)
     pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
     mr = jnp.where(real, mass / safe_rho, 0.0)
-    return PlanePytree(
-        px_c=col(position[:, 0]),
-        py_c=col(position[:, 1]),
-        pz_c=col(position[:, 2]),
-        vx_c=col(velocity[:, 0]),
-        vy_c=col(velocity[:, 1]),
-        vz_c=col(velocity[:, 2]),
-        pm_c=col(pm),
-        gid_c=col(gid),
-        px_r=row(position[:, 0]),
-        py_r=row(position[:, 1]),
-        pz_r=row(position[:, 2]),
-        vx_r=row(velocity[:, 0]),
-        vy_r=row(velocity[:, 1]),
-        vz_r=row(velocity[:, 2]),
-        pm_r=row(pm),
-        mr_r=row(mr),
-        real_r=row(realf),
-        gid_r=row(gid),
+    gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
+
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+
+    def pack(fields, col):
+        a = jnp.stack(fields, axis=0)  # (F, n)
+        a = a.reshape(len(fields), nb, block_size).swapaxes(0, 1)  # (nb, F, B)
+        return a[..., None] if col else a
+
+    return PlanePack(
+        q_pos=pack([px, py, pz], col=True),
+        c_pos=pack([px, py, pz, realf], col=False),
+        q_force=pack([px, py, pz, vx, vy, vz, pm, gidf], col=True),
+        c_force=pack([px, py, pz, vx, vy, vz, pm, mr, gidf], col=False),
     )
 
 
-def _q_spec(b):
-    return pl.BlockSpec((1, b, 1), lambda i, m_, cand_, count_: (i, 0, 0))
+def _q_spec(f, b):
+    return pl.BlockSpec((1, f, b, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0))
 
 
-def _c_spec(b):
-    return pl.BlockSpec((1, 1, b), lambda i, m_, cand_, count_: (cand_[i, m_], 0, 0))
+def _c_spec(f, b):
+    return pl.BlockSpec((1, f, b), lambda i, m_, cand_, count_: (cand_[i, m_], 0, 0))
 
 
-def _o_spec(b):
-    return pl.BlockSpec((1, b, 1), lambda i, m_, cand_, count_: (i, 0, 0))
+def _chunked_call(run_chunk, chunk, nb, q_args):
+    """Apply run_chunk over query-block chunks (SMEM-bounded cand table)."""
+    if chunk == nb:
+        return run_chunk(q_args)
+    nch = -(-nb // chunk)
+    pad = nch * chunk - nb
+
+    def cc(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+        return a.reshape((nch, chunk) + a.shape[1:])
+
+    out = jax.lax.map(run_chunk, tuple(cc(a) for a in q_args))
+    return out.reshape((-1,) + out.shape[2:])[:nb]
 
 
 # ----------------------------------------------------------------------
@@ -137,16 +141,7 @@ def _o_spec(b):
 # ----------------------------------------------------------------------
 
 
-def _density_kernel(
-    cand_ref,  # scalar prefetch: (nb, M) int32
-    count_ref,  # scalar prefetch: (nb,) int32
-    qx, qy, qz,  # query planes (1, B, 1)
-    cx, cy, cz, creal,  # candidate planes (1, 1, B)
-    out,  # (1, B, 1) accumulated sum of W
-    *,
-    h: float,
-    poly6: float,
-):
+def _density_kernel(cand_ref, count_ref, q, c, out, *, h: float, poly6: float):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -156,20 +151,21 @@ def _density_kernel(
 
     @pl.when(m < count_ref[i])
     def _():
-        dx = qx[0] - cx[0]  # (B, 1) - (1, B) -> (B, B)
-        dy = qy[0] - cy[0]
-        dz = qz[0] - cz[0]
+        h2 = h * h
+        dx = q[0, 0] - c[0, 0:1, :]  # (B, 1) - (1, B) -> (B, B)
+        dy = q[0, 1] - c[0, 1:2, :]
+        dz = q[0, 2] - c[0, 2:3, :]
         r2 = dx * dx + dy * dy + dz * dz
-        # poly6 needs only r^2; the reference's floor(r/h) cutoff factor
-        # (smoothing.cl:1-4) is exactly the r<h predicate
-        t = h * h - r2
-        mask = jnp.where(r2 < h * h, poly6, 0.0) * creal[0]
+        # the reference's floor(r/h) cutoff factor (smoothing.cl:1-4)
+        # is exactly the r<h predicate; poly6 needs only r^2
+        t = h2 - r2
+        mask = jnp.where(r2 < h2, poly6, 0.0) * c[0, 3:4, :]
         w = mask * (t * t * t)
-        out[...] += jnp.sum(w, axis=1, keepdims=True).reshape(1, -1, 1)
+        out[...] += jnp.sum(w, axis=1, keepdims=True)[None]
 
 
 def fused_density(
-    planes: PlanePytree,
+    planes: PlanePack,
     cand: jnp.ndarray,
     count: jnp.ndarray,
     params: SimulationParameters,
@@ -182,32 +178,30 @@ def fused_density(
     nb, b = planes.nb, planes.b
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
+    chunk = min(nb, QUERY_CHUNK)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, m),
-        in_specs=[_q_spec(b)] * 3 + [_c_spec(b)] * 4,
-        out_specs=_o_spec(b),
+    kernel = functools.partial(
+        _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
     )
 
-    wsum = pl.pallas_call(
-        functools.partial(
-            _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
-        ),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, b, 1), jnp.float32),
-        interpret=interpret,
-    )(
-        cand,
-        count,
-        planes.px_c,
-        planes.py_c,
-        planes.pz_c,
-        planes.px_r,
-        planes.py_r,
-        planes.pz_r,
-        planes.real_r,
-    )
+    def run_chunk(args):
+        cand_c, count_c, q = args
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(chunk, m),
+            in_specs=[_q_spec(3, b), _c_spec(4, b)],
+            out_specs=pl.BlockSpec(
+                (1, b, 1), lambda i, m_, cand_, count_: (i, 0, 0)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((chunk, b, 1), jnp.float32),
+            interpret=interpret,
+        )(cand_c, count_c, q, planes.c_pos)
+
+    wsum = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_pos))
     density = params.particle_mass * wsum.reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
@@ -216,16 +210,20 @@ def fused_density(
 # forces
 # ----------------------------------------------------------------------
 
+# query pack rows
+_QX, _QY, _QZ, _QVX, _QVY, _QVZ, _QPM, _QGID = range(8)
+# candidate pack rows
+_CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CPM, _CMR, _CGID = range(9)
+# output rows: pressure xyz, viscosity xyz, normal xyz, laplacian
+(_OPX, _OPY, _OPZ, _OVX, _OVY, _OVZ, _ONX, _ONY, _ONZ, _OLAP) = range(10)
+
 
 def _forces_kernel(
     cand_ref,
     count_ref,
-    # query planes (1, B, 1): pos, vel, mass*press/rho^2, gid(f32-safe int)
-    qx, qy, qz, qvx, qvy, qvz, qpm, qgid,
-    # candidate planes (1, 1, B): pos, vel, mass*press/rho^2, mass/rho, gid
-    cx, cy, cz, cvx, cvy, cvz, cpm, cmr, cgid,
-    # outputs (1, B, 1) each: pressure xyz, viscosity xyz, normal xyz, lap
-    opx, opy, opz, ovx, ovy, ovz, onx, ony, onz, olap,
+    q,  # (1, 8, B, 1)
+    c,  # (1, 9, B)
+    out,  # (1, 10, B, 1)
     *,
     h: float,
     spiky: float,
@@ -234,71 +232,68 @@ def _forces_kernel(
     poly6_lap: float,
     eps: float,
 ):
-    # NOTE: per-candidate scalars arrive premultiplied (cpm = m*p/rho^2,
-    # cmr = m/rho, zeroed on sentinel rows so no separate 'real' mask or
-    # divides are needed in the pair tile). Masks are carried as f32
-    # multiplications; the support cutoff is the r2 < h2 predicate
-    # (identical to the reference's 1-clamp(floor(r/h)) factor).
     i = pl.program_id(0)
     m = pl.program_id(1)
 
     @pl.when(m == 0)
     def _():
-        for o in (opx, opy, opz, ovx, ovy, ovz, onx, ony, onz, olap):
-            o[...] = jnp.zeros_like(o)
+        out[...] = jnp.zeros_like(out)
 
     @pl.when(m < count_ref[i])
     def _():
         h2 = h * h
-        dx = qx[0] - cx[0]  # (B, B)
-        dy = qy[0] - cy[0]
-        dz = qz[0] - cz[0]
+        row = lambda k: c[0, k : k + 1, :]  # (1, B)
+        col = lambda k: q[0, k]  # (B, 1)
+
+        dx = col(_QX) - row(_CX)  # (B, B)
+        dy = col(_QY) - row(_CY)
+        dz = col(_QZ) - row(_CZ)
         r2 = dx * dx + dy * dy + dz * dz
         incl = (r2 < h2).astype(jnp.float32)  # support cutoff
-        not_self = incl * (qgid[0] != cgid[0]).astype(jnp.float32)
+        not_self = incl * (col(_QGID) != row(_CGID)).astype(jnp.float32)
 
         near0 = r2 < eps * eps
         inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
         r = r2 * inv_r
         hr = h - r
 
-        def acc(o, mat):
-            o[...] += jnp.sum(mat, axis=1, keepdims=True).reshape(1, -1, 1)
+        def acc(k, mat):
+            out[0, k] += jnp.sum(mat, axis=1, keepdims=True)
 
         # pressure (Kelager 4.11, forces.cl:69-76)
-        p_coeff = (cpm[0] + qpm[0]) * not_self
+        p_coeff = (row(_CPM) + col(_QPM)) * not_self
         near0f = near0.astype(jnp.float32)
         spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
         a_reg = p_coeff * spiky_s
         # coincident-pair singular branch (smoothing.cl:23-25): the
-        # constant spiky value on every component
+        # constant spiky value lands on every component
         sing = jnp.sum(p_coeff * (spiky * near0f), axis=1, keepdims=True)
-        acc(opx, a_reg * dx)
-        acc(opy, a_reg * dy)
-        acc(opz, a_reg * dz)
-        opx[...] += sing.reshape(1, -1, 1)
-        opy[...] += sing.reshape(1, -1, 1)
-        opz[...] += sing.reshape(1, -1, 1)
+        acc(_OPX, a_reg * dx)
+        acc(_OPY, a_reg * dy)
+        acc(_OPZ, a_reg * dz)
+        out[0, _OPX] += sing
+        out[0, _OPY] += sing
+        out[0, _OPZ] += sing
 
         # viscosity (forces.cl:78-84); cmr = m/rho_j
-        b_mat = (not_self * visc) * cmr[0] * hr
-        acc(ovx, b_mat * (cvx[0] - qvx[0]))
-        acc(ovy, b_mat * (cvy[0] - qvy[0]))
-        acc(ovz, b_mat * (cvz[0] - qvz[0]))
+        b_mat = (not_self * visc) * row(_CMR) * hr
+        acc(_OVX, b_mat * (row(_CVX) - col(_QVX)))
+        acc(_OVY, b_mat * (row(_CVY) - col(_QVY)))
+        acc(_OVZ, b_mat * (row(_CVZ) - col(_QVZ)))
 
-        # colour field normal + laplacian (forces.cl:87-96), self included
+        # colour field normal + laplacian (forces.cl:87-96), self incl.
         t = h2 - r2
-        u = (incl * cmr[0]) * t
+        u = (incl * row(_CMR)) * t
         g_mat = (poly6_grad * u) * t
-        acc(onx, g_mat * dx)
-        acc(ony, g_mat * dy)
-        acc(onz, g_mat * dz)
+        acc(_ONX, g_mat * dx)
+        acc(_ONY, g_mat * dy)
+        acc(_ONZ, g_mat * dz)
         l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
-        acc(olap, l_mat)
+        acc(_OLAP, l_mat)
 
 
 def fused_forces(
-    planes: PlanePytree,
+    planes: PlanePack,
     cand: jnp.ndarray,
     count: jnp.ndarray,
     params: SimulationParameters,
@@ -313,42 +308,43 @@ def fused_forces(
     nb, b = planes.nb, planes.b
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
+    chunk = min(nb, QUERY_CHUNK)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, m),
-        in_specs=[_q_spec(b)] * 8 + [_c_spec(b)] * 9,
-        out_specs=[_o_spec(b)] * 10,
+    kernel = functools.partial(
+        _forces_kernel,
+        h=float(params.h),
+        spiky=float(terms.spiky),
+        visc=float(terms.viscosity),
+        poly6_grad=float(terms.poly_6_gradient),
+        poly6_lap=float(terms.poly_6_laplacian),
+        eps=smoothing.EPSILON,
     )
 
-    out_shapes = [jax.ShapeDtypeStruct((nb, b, 1), jnp.float32)] * 10
-    outs = pl.pallas_call(
-        functools.partial(
-            _forces_kernel,
-            h=float(params.h),
-            spiky=float(terms.spiky),
-            visc=float(terms.viscosity),
-            poly6_grad=float(terms.poly_6_gradient),
-            poly6_lap=float(terms.poly_6_laplacian),
-            eps=smoothing.EPSILON,
-        ),
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        interpret=interpret,
-    )(
-        cand,
-        count,
-        planes.px_c, planes.py_c, planes.pz_c,
-        planes.vx_c, planes.vy_c, planes.vz_c,
-        planes.pm_c, planes.gid_c,
-        planes.px_r, planes.py_r, planes.pz_r,
-        planes.vx_r, planes.vy_r, planes.vz_r,
-        planes.pm_r, planes.mr_r, planes.gid_r,
-    )
-    press = jnp.stack([o.reshape(-1) for o in outs[0:3]], axis=1)
-    visct = jnp.stack([o.reshape(-1) for o in outs[3:6]], axis=1)
-    norm = jnp.stack([o.reshape(-1) for o in outs[6:9]], axis=1)
-    lap = outs[9].reshape(-1)
+    def run_chunk(args):
+        cand_c, count_c, q = args
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(chunk, m),
+            in_specs=[_q_spec(8, b), _c_spec(9, b)],
+            out_specs=pl.BlockSpec(
+                (1, 10, b, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((chunk, 10, b, 1), jnp.float32),
+            interpret=interpret,
+        )(cand_c, count_c, q, planes.c_force)
+
+    sums = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_force))
+    # sums: (nb, 10, B, 1)
+
+    flat = lambda k: sums[:, k].reshape(-1)
+    press = jnp.stack([flat(_OPX), flat(_OPY), flat(_OPZ)], axis=1)
+    visct = jnp.stack([flat(_OVX), flat(_OVY), flat(_OVZ)], axis=1)
+    norm = jnp.stack([flat(_ONX), flat(_ONY), flat(_ONZ)], axis=1)
+    lap = flat(_OLAP)
 
     rho = density
     total = -rho[:, None] * press + visct * params.dynamic_viscosity

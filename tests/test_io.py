@@ -189,3 +189,37 @@ class TestNativeSerializer:
         geo_format.write_geo_file(p, pos, vel, col, 0.01)
         content = open(p).read()
         assert content.startswith("PGEOMETRY V5\nNPoints 4")
+
+
+class TestLegacyCheckpoint:
+    """Reference last_frame.bin (80-byte AoS records) interop."""
+
+    def test_roundtrip(self, tmp_path):
+        from libclsph_tpu.io import legacy
+
+        rng = np.random.default_rng(7)
+        n = 50
+        arrays = {
+            "position": rng.standard_normal((n, 3)).astype(np.float32),
+            "velocity": rng.standard_normal((n, 3)).astype(np.float32),
+            "intermediate_velocity": rng.standard_normal((n, 3)).astype(np.float32),
+            "acceleration": rng.standard_normal((n, 3)).astype(np.float32),
+            "density": rng.random(n).astype(np.float32) * 1000,
+            "pressure": rng.standard_normal(n).astype(np.float32),
+            "grid_index": rng.integers(0, 1 << 30, n).astype(np.uint32),
+        }
+        p = str(tmp_path / "last_frame.bin")
+        legacy.write_legacy_checkpoint(p, arrays)
+        assert os.path.getsize(p) == n * 80  # reference struct stride
+        out = legacy.read_legacy_checkpoint(p, n)
+        for k in arrays:
+            np.testing.assert_array_equal(out[k], arrays[k])
+
+    def test_wrong_size_rejected(self, tmp_path):
+        from libclsph_tpu.io import legacy
+
+        p = str(tmp_path / "last_frame.bin")
+        with open(p, "wb") as f:
+            f.write(b"\x00" * 81)
+        with pytest.raises(ValueError):
+            legacy.read_legacy_checkpoint(p, 1)
