@@ -9,10 +9,12 @@ reference performs 4+ blocking device->host reduction reads per substep
 including the dt retry loop (:252-260), runs on device and only the
 final dt scalar ever needs to reach the host.
 
-Two neighbour backends:
+Three neighbour backends:
 * ``exact``  — per-particle 27-cell gather (ops/neighbors.py),
   reference-structure parity, used for tests/small N;
-* ``tiles``  — Morton block tiles (ops/tiles.py), the TPU fast path.
+* ``tiles``  — Morton block tiles in XLA (ops/tiles.py);
+* ``pallas`` — fused Pallas TPU kernels over the same candidate
+  machinery (ops/pallas/neighbor.py), the production path.
 """
 
 from __future__ import annotations

@@ -118,6 +118,13 @@ def _c_spec(f, b):
     return pl.BlockSpec((1, f, b), lambda i, m_, cand_, count_: (cand_[i, m_], 0, 0))
 
 
+def _c_spec_k(f, b, cpg, k):
+    """Candidate spec for slot m*cpg + k (multi-candidate grid steps)."""
+    return pl.BlockSpec(
+        (1, f, b), lambda i, m_, cand_, count_: (cand_[i, m_ * cpg + k], 0, 0)
+    )
+
+
 def _chunked_call(run_chunk, chunk, nb, q_args):
     """Apply run_chunk over query-block chunks (SMEM-bounded cand table)."""
     if chunk == nb:
@@ -141,7 +148,27 @@ def _chunked_call(run_chunk, chunk, nb, q_args):
 # ----------------------------------------------------------------------
 
 
-def _density_kernel(cand_ref, count_ref, q, c, out, *, h: float, poly6: float):
+# candidate blocks processed per grid step (amortises per-step
+# pipeline/DMA bookkeeping over several pair tiles)
+CANDS_PER_STEP = 2
+
+
+def _density_tile(q, c, *, h, poly6):
+    h2 = h * h
+    dx = q[0, 0] - c[0, 0:1, :]  # (B, 1) - (1, B) -> (B, B)
+    dy = q[0, 1] - c[0, 1:2, :]
+    dz = q[0, 2] - c[0, 2:3, :]
+    r2 = dx * dx + dy * dy + dz * dz
+    # the reference's floor(r/h) cutoff factor (smoothing.cl:1-4)
+    # is exactly the r<h predicate; poly6 needs only r^2
+    t = h2 - r2
+    mask = jnp.where(r2 < h2, poly6, 0.0) * c[0, 3:4, :]
+    w = mask * (t * t * t)
+    return jnp.sum(w, axis=1, keepdims=True)[None]
+
+
+def _density_kernel(cand_ref, count_ref, q, *cs_and_out, h: float, poly6: float):
+    cs, out = cs_and_out[:-1], cs_and_out[-1]
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -149,19 +176,12 @@ def _density_kernel(cand_ref, count_ref, q, c, out, *, h: float, poly6: float):
     def _():
         out[...] = jnp.zeros_like(out)
 
-    @pl.when(m < count_ref[i])
-    def _():
-        h2 = h * h
-        dx = q[0, 0] - c[0, 0:1, :]  # (B, 1) - (1, B) -> (B, B)
-        dy = q[0, 1] - c[0, 1:2, :]
-        dz = q[0, 2] - c[0, 2:3, :]
-        r2 = dx * dx + dy * dy + dz * dz
-        # the reference's floor(r/h) cutoff factor (smoothing.cl:1-4)
-        # is exactly the r<h predicate; poly6 needs only r^2
-        t = h2 - r2
-        mask = jnp.where(r2 < h2, poly6, 0.0) * c[0, 3:4, :]
-        w = mask * (t * t * t)
-        out[...] += jnp.sum(w, axis=1, keepdims=True)[None]
+    for k, c in enumerate(cs):
+        slot = m * len(cs) + k
+
+        @pl.when(slot < count_ref[i])
+        def _(c=c):
+            out[...] += _density_tile(q, c, h=h, poly6=poly6)
 
 
 def fused_density(
@@ -184,12 +204,20 @@ def fused_density(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
     )
 
+    cpg = CANDS_PER_STEP
+    mp = -(-m // cpg) * cpg
+    if mp != m:
+        cand = jnp.concatenate(
+            [cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1
+        )
+
     def run_chunk(args):
         cand_c, count_c, q = args
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(chunk, m),
-            in_specs=[_q_spec(3, b), _c_spec(4, b)],
+            grid=(chunk, mp // cpg),
+            in_specs=[_q_spec(3, b)]
+            + [_c_spec_k(4, b, cpg, k) for k in range(cpg)],
             out_specs=pl.BlockSpec(
                 (1, b, 1), lambda i, m_, cand_, count_: (i, 0, 0)
             ),
@@ -199,7 +227,7 @@ def fused_density(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((chunk, b, 1), jnp.float32),
             interpret=interpret,
-        )(cand_c, count_c, q, planes.c_pos)
+        )(cand_c, count_c, q, *([planes.c_pos] * cpg))
 
     wsum = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_pos))
     density = params.particle_mass * wsum.reshape(-1)
@@ -218,29 +246,8 @@ _CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CPM, _CMR, _CGID = range(9)
 (_OPX, _OPY, _OPZ, _OVX, _OVY, _OVZ, _ONX, _ONY, _ONZ, _OLAP) = range(10)
 
 
-def _forces_kernel(
-    cand_ref,
-    count_ref,
-    q,  # (1, 8, B, 1)
-    c,  # (1, 9, B)
-    out,  # (1, 10, B, 1)
-    *,
-    h: float,
-    spiky: float,
-    visc: float,
-    poly6_grad: float,
-    poly6_lap: float,
-    eps: float,
-):
-    i = pl.program_id(0)
-    m = pl.program_id(1)
-
-    @pl.when(m == 0)
-    def _():
-        out[...] = jnp.zeros_like(out)
-
-    @pl.when(m < count_ref[i])
-    def _():
+def _forces_tile(q, c, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
+    if True:  # keep the original indentation of the body
         h2 = h * h
         row = lambda k: c[0, k : k + 1, :]  # (1, B)
         col = lambda k: q[0, k]  # (B, 1)
@@ -292,6 +299,38 @@ def _forces_kernel(
         acc(_OLAP, l_mat)
 
 
+def _forces_kernel(
+    cand_ref,
+    count_ref,
+    q,  # (1, 8, B, 1)
+    *cs_and_out,  # cpg x (1, 9, B) candidate packs + (1, 10, B, 1) out
+    h: float,
+    spiky: float,
+    visc: float,
+    poly6_grad: float,
+    poly6_lap: float,
+    eps: float,
+):
+    cs, out = cs_and_out[:-1], cs_and_out[-1]
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    for k, c in enumerate(cs):
+        slot = m * len(cs) + k
+
+        @pl.when(slot < count_ref[i])
+        def _(c=c):
+            _forces_tile(
+                q, c, out,
+                h=h, spiky=spiky, visc=visc,
+                poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+            )
+
+
 def fused_forces(
     planes: PlanePack,
     cand: jnp.ndarray,
@@ -320,12 +359,20 @@ def fused_forces(
         eps=smoothing.EPSILON,
     )
 
+    cpg = CANDS_PER_STEP
+    mp = -(-m // cpg) * cpg
+    if mp != m:
+        cand = jnp.concatenate(
+            [cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1
+        )
+
     def run_chunk(args):
         cand_c, count_c, q = args
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(chunk, m),
-            in_specs=[_q_spec(8, b), _c_spec(9, b)],
+            grid=(chunk, mp // cpg),
+            in_specs=[_q_spec(8, b)]
+            + [_c_spec_k(9, b, cpg, k) for k in range(cpg)],
             out_specs=pl.BlockSpec(
                 (1, 10, b, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0)
             ),
@@ -335,7 +382,7 @@ def fused_forces(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((chunk, 10, b, 1), jnp.float32),
             interpret=interpret,
-        )(cand_c, count_c, q, planes.c_force)
+        )(cand_c, count_c, q, *([planes.c_force] * cpg))
 
     sums = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_force))
     # sums: (nb, 10, B, 1)

@@ -30,6 +30,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+# NOTE: the new jax.shard_map enforces varying-manual-axes typing that
+# would require pvary annotations throughout the tile machinery; the
+# experimental entry point with check_rep=False keeps the classic
+# semantics.
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
