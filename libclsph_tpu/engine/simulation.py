@@ -55,7 +55,18 @@ SaveCallback = Callable[[dict, SimulationParameters], None]
 
 
 class SPHSimulation:
-    def __init__(self, step_config: Optional[StepConfig] = None):
+    def __init__(
+        self,
+        step_config: Optional[StepConfig] = None,
+        mesh=None,
+        exchange: str = "all_gather",
+        halo_max: int = 0,
+    ):
+        """``mesh``: a 1-D ``jax.sharding.Mesh`` to run multi-chip —
+        the state is Morton-partitioned across devices and every
+        substep runs under shard_map (parallel/sharded_step.py).
+        ``exchange``/``halo_max`` pick the neighbour-exchange strategy.
+        """
         self.parameters: Optional[SimulationParameters] = None
         self.precomputed_terms: Optional[PrecomputedKernelValues] = None
         self.initial_volume: float = 0.0
@@ -68,6 +79,9 @@ class SPHSimulation:
         self.step_config = step_config or StepConfig()
         self.capacity_retries = 0
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
+        self.mesh = mesh
+        self.exchange = exchange
+        self.halo_max = halo_max
         # filled by simulate()
         self.state: Optional[ParticleState] = None
         self.device_scene = None
@@ -170,10 +184,80 @@ class SPHSimulation:
         saver.submit(run)
 
     # ------------------------------------------------------------------
+    def _simulate_sharded(self) -> float:
+        """Multi-chip frame loop: substeps run under shard_map over
+        ``self.mesh``; host pays one dt-scalar fetch per substep."""
+        import jax.sharding as jsh
+
+        from ..parallel.mesh import AXIS
+        from ..parallel.sharded_step import make_sharded_substep, pad_for_mesh
+
+        p = self.parameters
+        t_start = _time.perf_counter()
+        self.device_scene = collisions_ops.build_device_scene(self.current_scene)
+        saver = AsyncSaver()
+
+        state = self.init_particles()
+        state = pad_for_mesh(state, p, self.mesh, self.step_config)
+        sharding = jsh.NamedSharding(self.mesh, jsh.PartitionSpec(AXIS))
+        state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+        def build_step():
+            return make_sharded_substep(
+                self.mesh, p, self.device_scene, self.step_config,
+                exchange=self.exchange, halo_max=self.halo_max,
+            )
+
+        step = build_step()
+
+        def fetch_real(st) -> dict:
+            arrays = ckpt_mod.state_to_arrays(jax.block_until_ready(st))
+            real = np.abs(arrays["position"]).max(axis=1) < 1.0e30
+            return {k: v[real] for k, v in arrays.items()}
+
+        timeperframe = p.frame_time
+        dt = jnp.float32(timeperframe * p.simulation_scale)
+        sim_time = 0.0
+        current_frame = 2
+
+        if self.save_frame:
+            self._save(saver, fetch_real(state))
+
+        while sim_time < p.simulation_time:
+            log.info("Simulating frame %d (%gs)", current_frame, sim_time)
+            timeleft = timeperframe
+            frame_start_state, frame_start_dt = state, dt
+            while timeleft > 0.0:
+                new_state, dt_dev, ovf = step(state, dt)
+                if bool(ovf):
+                    self._grow_capacity()
+                    step = build_step()
+                    state, dt = frame_start_state, frame_start_dt
+                    timeleft = timeperframe
+                    continue
+                state = new_state
+                dt_f = float(dt_dev)
+                timeleft -= dt_f
+                dt = jnp.float32(min(dt_f, timeleft) if timeleft < dt_f else dt_f)
+            sim_time += timeperframe
+            current_frame += 1
+            if self.save_frame:
+                self._save(saver, fetch_real(state))
+            if self.post_frame:
+                arrays = fetch_real(state)
+                self.post_frame(arrays, p, True)
+
+        saver.close()
+        self.state = state
+        return _time.perf_counter() - t_start
+
+    # ------------------------------------------------------------------
     def simulate(self) -> float:
         """The frame loop (sph_simulation.cpp:265-432). Returns the
         simulated wall-clock seconds."""
         assert self.parameters is not None, "call load_settings first"
+        if self.mesh is not None:
+            return self._simulate_sharded()
         p = self.parameters
         cfg = self.step_config
 

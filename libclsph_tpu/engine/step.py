@@ -108,7 +108,7 @@ def _density_forces_tiles(
         cfg.block_size,
     )
     bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
-    cand, count, overflow = tiles_ops.candidate_blocks(
+    cand, count, overflow = tiles_ops.candidate_blocks_auto(
         bmin, bmax, params.h, cfg.max_candidates
     )
 
@@ -146,7 +146,7 @@ def _density_forces_pallas(
         cfg.block_size,
     )
     bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
-    cand, count, overflow = tiles_ops.candidate_blocks(
+    cand, count, overflow = tiles_ops.candidate_blocks_auto(
         bmin, bmax, params.h, cfg.max_candidates
     )
 

@@ -262,3 +262,35 @@ class TestInvariants:
         # interior particles: top quartile of density
         interior = np.quantile(rho, 0.9)
         assert 0.5 * params.fluid_density < interior < 1.5 * params.fluid_density
+
+
+class TestHierarchicalCandidates:
+    def test_matches_dense(self, rng):
+        """Two-level candidate search finds exactly the same candidate
+        sets as the dense search (as sets; slot order may differ)."""
+        from libclsph_tpu.ops import tiles as T
+        from libclsph_tpu.core.state import init_state
+
+        params = make_params(WATER, n=64 * 64)
+        state = init_state(params)
+        # jiggle so blocks aren't degenerate
+        pos = np.asarray(state.position) + rng.normal(0, 1e-3, (params.particles_count, 3)).astype(np.float32)
+        grid = grid_ops.compute_bounds(jnp.asarray(pos), params)
+        codes = grid_ops.locate_in_grid(jnp.asarray(pos), grid)
+        order = np.argsort(np.asarray(codes), kind="stable")
+        pos_sorted = jnp.asarray(pos[order])
+
+        blocked_pos = pos_sorted.reshape(-1, 64, 3)
+        real = jnp.ones(blocked_pos.shape[:2], bool)
+        bmin, bmax = T.split_block_bounds(blocked_pos, real)
+
+        cand_d, count_d, ovf_d = T.candidate_blocks(bmin, bmax, params.h, 512)
+        cand_h, count_h, ovf_h = T.candidate_blocks_hierarchical(
+            bmin, bmax, params.h, 512, super_cand=64
+        )
+        assert not bool(ovf_d) and not bool(ovf_h)
+        nb = bmin.shape[0]
+        for i in range(nb):
+            sd = set(np.asarray(cand_d[i, : int(count_d[i])]).tolist())
+            sh = set(np.asarray(cand_h[i, : int(count_h[i])]).tolist())
+            assert sd == sh, (i, sd ^ sh)
