@@ -149,22 +149,29 @@ def _chunked_call(run_chunk, chunk, nb, q_args):
 
 
 # candidate blocks processed per grid step (amortises per-step
-# pipeline/DMA bookkeeping over several pair tiles)
-CANDS_PER_STEP = 2
+# pipeline/DMA bookkeeping over several pair tiles); env-overridable
+# for tuning sweeps
+import os as _os
+
+CANDS_PER_STEP = int(_os.environ.get("LIBCLSPH_TPU_CPG", "4"))
 
 
-def _density_tile(q, c, *, h, poly6):
+def _density_tile(q, c, out, *, h, poly6):
     h2 = h * h
     dx = q[0, 0] - c[0, 0:1, :]  # (B, 1) - (1, B) -> (B, B)
     dy = q[0, 1] - c[0, 1:2, :]
     dz = q[0, 2] - c[0, 2:3, :]
     r2 = dx * dx + dy * dy + dz * dz
-    # the reference's floor(r/h) cutoff factor (smoothing.cl:1-4)
-    # is exactly the r<h predicate; poly6 needs only r^2
-    t = h2 - r2
-    mask = jnp.where(r2 < h2, poly6, 0.0) * c[0, 3:4, :]
-    w = mask * (t * t * t)
-    return jnp.sum(w, axis=1, keepdims=True)[None]
+    incl = r2 < h2
+
+    @pl.when(jnp.any(incl))
+    def _():
+        # the reference's floor(r/h) cutoff factor (smoothing.cl:1-4)
+        # is exactly the r<h predicate; poly6 needs only r^2
+        t = h2 - r2
+        mask = jnp.where(incl, poly6, 0.0) * c[0, 3:4, :]
+        w = mask * (t * t * t)
+        out[...] += jnp.sum(w, axis=1, keepdims=True)[None]
 
 
 def _density_kernel(cand_ref, count_ref, q, *cs_and_out, h: float, poly6: float):
@@ -181,7 +188,7 @@ def _density_kernel(cand_ref, count_ref, q, *cs_and_out, h: float, poly6: float)
 
         @pl.when(slot < count_ref[i])
         def _(c=c):
-            out[...] += _density_tile(q, c, h=h, poly6=poly6)
+            _density_tile(q, c, out, h=h, poly6=poly6)
 
 
 def fused_density(
@@ -247,16 +254,22 @@ _CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CPM, _CMR, _CGID = range(9)
 
 
 def _forces_tile(q, c, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
-    if True:  # keep the original indentation of the body
-        h2 = h * h
-        row = lambda k: c[0, k : k + 1, :]  # (1, B)
-        col = lambda k: q[0, k]  # (B, 1)
+    h2 = h * h
+    row = lambda k: c[0, k : k + 1, :]  # (1, B)
+    col = lambda k: q[0, k]  # (B, 1)
 
-        dx = col(_QX) - row(_CX)  # (B, B)
-        dy = col(_QY) - row(_CY)
-        dz = col(_QZ) - row(_CZ)
-        r2 = dx * dx + dy * dy + dz * dz
-        incl = (r2 < h2).astype(jnp.float32)  # support cutoff
+    dx = col(_QX) - row(_CX)  # (B, B)
+    dy = col(_QY) - row(_CY)
+    dz = col(_QZ) - row(_CZ)
+    r2 = dx * dx + dy * dy + dz * dz
+    incl_b = r2 < h2  # support cutoff
+
+    # The dilated-AABB candidate test admits corner-touching blocks with
+    # no pair actually inside the support radius; skip their ~80% of
+    # the tile work.
+    @pl.when(jnp.any(incl_b))
+    def _():
+        incl = incl_b.astype(jnp.float32)
         not_self = incl * (col(_QGID) != row(_CGID)).astype(jnp.float32)
 
         near0 = r2 < eps * eps

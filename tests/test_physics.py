@@ -294,3 +294,20 @@ class TestHierarchicalCandidates:
             sd = set(np.asarray(cand_d[i, : int(count_d[i])]).tolist())
             sh = set(np.asarray(cand_h[i, : int(count_h[i])]).tolist())
             assert sd == sh, (i, sd ^ sh)
+
+
+class TestDiagnostics:
+    def test_neighbor_stats(self, rng):
+        from libclsph_tpu.utils.diagnostics import neighbor_stats, density_summary
+
+        params = make_params(WATER, n=1000)
+        pos = (rng.random((1000, 3)).astype(np.float32) - 0.5) * 0.5
+        stats = neighbor_stats(jnp.asarray(pos), params, block_size=64)
+        assert int(stats.count_max) >= 1
+        assert float(stats.count_mean) <= float(stats.count_max)
+        assert not bool(stats.overflowed)
+        assert int(stats.occupancy_max) >= 1
+
+        s = density_summary(np.full(100, 998.0, np.float32), params)
+        assert s["frac_within_10pct_rest"] == 1.0
+        assert not s["any_nonfinite"]
