@@ -47,6 +47,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--confirm", action="store_true",
         help="ask for confirmation before simulating (reference behaviour)",
     )
+    ap.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="run data-parallel over the first N devices (0 = single device)",
+    )
+    ap.add_argument(
+        "--exchange", choices=["all_gather", "halo"], default="all_gather",
+        help="multi-chip neighbour exchange strategy (with --mesh)",
+    )
     ap.add_argument("--root", default=".", help="directory holding fluid_properties/ etc.")
     return ap
 
@@ -60,7 +68,21 @@ def main(argv=None) -> int:
         max_candidates=args.max_candidates,
         tile_mode=args.tile_mode,
     )
-    simulation = SPHSimulation(step_config=cfg)
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        devices = jax.devices()[: args.mesh]
+        if len(devices) < args.mesh:
+            print(
+                f"only {len(devices)} device(s) available, requested {args.mesh}",
+                file=sys.stderr,
+            )
+            return -1
+        mesh = make_mesh(devices)
+    simulation = SPHSimulation(step_config=cfg, mesh=mesh, exchange=args.exchange)
     saver = HoudiniFileSaver(args.out_prefix, use_partio=args.partio)
 
     try:

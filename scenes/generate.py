@@ -35,6 +35,34 @@ class MeshBuilder:
         self.tri(a, b, c)
         self.tri(a, c, d)
 
+
+    def _orient(self, idxs, ref, away_from=None):
+        """Reorder a polygon's vertex indices so its normal points
+        toward ``ref`` (or away from ``away_from``)."""
+        va = np.array(self.vertices[idxs[0]])
+        vb = np.array(self.vertices[idxs[1]])
+        vc = np.array(self.vertices[idxs[2]])
+        n = np.cross(vb - va, vc - va)
+        if away_from is not None:
+            want = va - np.array(away_from)
+        else:
+            want = np.array(ref) - va
+        if float(np.dot(n, want)) < 0:
+            return list(reversed(idxs))
+        return idxs
+
+    def tri_toward(self, a, b, c, ref):
+        self.tri(*self._orient([a, b, c], ref))
+
+    def quad_toward(self, a, b, c, d, ref):
+        self.quad(*self._orient([a, b, c, d], ref))
+
+    def tri_away(self, a, b, c, center):
+        self.tri(*self._orient([a, b, c], None, away_from=center))
+
+    def quad_away(self, a, b, c, d, center):
+        self.quad(*self._orient([a, b, c, d], None, away_from=center))
+
     def add_box(self, lo, hi, inward=True):
         """Axis-aligned closed box; inward=True -> normals point inside
         (container), else outside (obstacle)."""
@@ -50,9 +78,10 @@ class MeshBuilder:
             self.v(x1, y1, z1),  # 6
             self.v(x0, y1, z1),  # 7
         ]
+        center = [(x0 + x1) / 2, (y0 + y1) / 2, (z0 + z1) / 2]
         quads = [
-            (0, 1, 2, 3),  # bottom (y0) — up-normal when CCW from above
-            (7, 6, 5, 4),  # top (y1)
+            (0, 1, 2, 3),  # bottom
+            (7, 6, 5, 4),  # top
             (0, 3, 7, 4),  # x0 side
             (2, 1, 5, 6),  # x1 side
             (1, 0, 4, 5),  # z0 side
@@ -60,9 +89,9 @@ class MeshBuilder:
         ]
         for (a, b, c, d) in quads:
             if inward:
-                self.quad(i[a], i[b], i[c], i[d])
+                self.quad_toward(i[a], i[b], i[c], i[d], center)
             else:
-                self.quad(i[d], i[c], i[b], i[a])
+                self.quad_away(i[a], i[b], i[c], i[d], center)
 
     def add_open_box(self, lo, hi, inward=True):
         """Box without a top face (open container)."""
@@ -78,6 +107,7 @@ class MeshBuilder:
             self.v(x1, y1, z1),
             self.v(x0, y1, z1),
         ]
+        center = [(x0 + x1) / 2, (y0 + y1) / 2, (z0 + z1) / 2]
         quads = [
             (0, 1, 2, 3),
             (0, 3, 7, 4),
@@ -87,9 +117,9 @@ class MeshBuilder:
         ]
         for (a, b, c, d) in quads:
             if inward:
-                self.quad(i[a], i[b], i[c], i[d])
+                self.quad_toward(i[a], i[b], i[c], i[d], center)
             else:
-                self.quad(i[d], i[c], i[b], i[a])
+                self.quad_away(i[a], i[b], i[c], i[d], center)
 
     def add_plane(self, lo, hi, y):
         x0, z0 = lo
@@ -98,7 +128,7 @@ class MeshBuilder:
         b = self.v(x1, y, z0)
         c = self.v(x1, y, z1)
         d = self.v(x0, y, z1)
-        self.quad(a, b, c, d)
+        self.quad_toward(a, b, c, d, [0.0, y + 1.0, 0.0])  # normal up
 
     def add_cone(self, apex_y, base_y, radius, segments=16, closed=True):
         """Open cone (funnel) with apex at bottom."""
@@ -111,14 +141,19 @@ class MeshBuilder:
             )
             for k in range(segments)
         ]
+        interior = [0.0, base_y, 0.0]  # inside the funnel mouth
         for k in range(segments):
-            self.tri(apex, ring[k], ring[(k + 1) % segments])
+            self.tri_toward(apex, ring[k], ring[(k + 1) % segments], interior)
         if closed:
             center = self.v(0.0, base_y, 0.0)
             for k in range(segments):
-                self.tri(center, ring[(k + 1) % segments], ring[k])
+                self.tri_toward(
+                    center, ring[(k + 1) % segments], ring[k],
+                    [0.0, base_y + 1.0, 0.0],
+                )
 
     def add_sphere(self, center, radius, lat=8, lon=12):
+        # faces oriented outward (fluid collides from outside)
         cx, cy, cz = center
         grid = []
         for i in range(lat + 1):
@@ -139,9 +174,9 @@ class MeshBuilder:
                 a, b = grid[i][j], grid[i][(j + 1) % lon]
                 c, d = grid[i + 1][(j + 1) % lon], grid[i + 1][j]
                 if i != 0:
-                    self.tri(a, b, c)
+                    self.tri_away(a, b, c, center)
                 if i != lat - 1:
-                    self.tri(a, c, d)
+                    self.tri_away(a, c, d, center)
 
     def write(self, path, name):
         with open(path, "w") as f:
@@ -157,9 +192,10 @@ def build_all(outdir):
     os.makedirs(outdir, exist_ok=True)
 
     # cube: closed unit cube below the fluid (reference cube.obj spans
-    # [-0.5,0.5]x[-1.5,-0.5]x[-0.5,0.5])
+    # [-0.5,0.5]x[-1.5,-0.5]x[-0.5,0.5]); outward normals — the fluid
+    # lands on it from outside, like the Blender export
     m = MeshBuilder()
-    m.add_box((-0.5, -1.5, -0.5), (0.5, -0.5, 0.5))
+    m.add_box((-0.5, -1.5, -0.5), (0.5, -0.5, 0.5), inward=False)
     m.write(os.path.join(outdir, "cube.obj"), "cube")
 
     # box: wide open-top container catching the falling fluid column
@@ -203,7 +239,7 @@ def build_all(outdir):
             b = m.v(x0 + 0.7, 0.82, z0)
             c = m.v(x0 + 0.7, 0.8, z0 + 0.7)
             d = m.v(x0, 0.82, z0 + 0.7)
-            m.quad(a, b, c, d)
+            m.quad_toward(a, b, c, d, [x0 + 0.35, 2.0, z0 + 0.35])
     m.write(os.path.join(outdir, "shower.obj"), "shower")
 
     # river: a sloped channel with side walls
@@ -219,9 +255,10 @@ def build_all(outdir):
         rwall.append(m.v(x, y + 1.2, width))
     for k in range(n_seg):
         (a0, b0), (a1, b1) = floor[k], floor[k + 1]
-        m.quad(a0, a1, b1, b0)
-        m.quad(a0, lwall[k], lwall[k + 1], a1)
-        m.quad(b0, b1, rwall[k + 1], rwall[k])
+        interior = [float(xs[k]), float(ys[k]) + 0.6, 0.0]
+        m.quad_toward(a0, a1, b1, b0, interior)
+        m.quad_toward(a0, lwall[k], lwall[k + 1], a1, interior)
+        m.quad_toward(b0, b1, rwall[k + 1], rwall[k], interior)
     m.write(os.path.join(outdir, "river.obj"), "river")
 
     # labyrinth: open box with staggered baffle walls

@@ -148,3 +148,32 @@ class TestCLI:
 
         code = cli.main(["nope", "nope", "cube", "x_", "--root", str(tmp_path)])
         assert code == -1
+
+
+class TestCLIMesh:
+    def test_cli_mesh_run(self, tmp_path, monkeypatch):
+        import shutil
+
+        from libclsph_tpu import cli
+
+        write_configs(tmp_path, n=256, sim_time=0.017)
+        shutil.copytree(os.path.join(REPO, "scenes"), tmp_path / "scenes")
+        monkeypatch.chdir(tmp_path)
+        code = cli.main(
+            [
+                "water", "test", "cube", str(tmp_path) + "/m_",
+                "--root", str(tmp_path),
+                "--mesh", "8", "--block-size", "32", "--max-candidates", "48",
+            ]
+        )
+        assert code == 0
+        assert "frame0000001.geo" in os.listdir(str(tmp_path) + "/m_frames")
+
+    def test_cli_mesh_too_many(self, tmp_path):
+        from libclsph_tpu import cli
+
+        write_configs(tmp_path, n=256)
+        code = cli.main(
+            ["water", "test", "cube", "x_", "--root", str(tmp_path), "--mesh", "99"]
+        )
+        assert code == -1
