@@ -48,6 +48,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="ask for confirmation before simulating (reference behaviour)",
     )
     ap.add_argument(
+        "--import-legacy", metavar="LAST_FRAME_BIN", default=None,
+        help="resume from a reference-format last_frame.bin checkpoint",
+    )
+    ap.add_argument(
         "--mesh", type=int, default=0, metavar="N",
         help="run data-parallel over the first N devices (0 = single device)",
     )
@@ -133,6 +137,20 @@ Saving to folder:          {args.out_prefix}frames/"""
     except Exception as ex:
         print(f"Unable to load scene: {args.scene} ({ex})", file=sys.stderr)
         return -1
+
+    if args.import_legacy:
+        from .io.checkpoint import save_checkpoint
+        from .io.legacy import read_legacy_checkpoint
+
+        try:
+            arrays = read_legacy_checkpoint(
+                args.import_legacy, simulation.parameters.particles_count
+            )
+        except (OSError, ValueError) as ex:
+            print(ex, file=sys.stderr)
+            return 1
+        save_checkpoint(simulation.checkpoint_path, arrays, simulation.parameters)
+        print(f"Imported legacy checkpoint {args.import_legacy}")
 
     if args.confirm:
         print(

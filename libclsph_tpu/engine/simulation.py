@@ -161,13 +161,15 @@ class SPHSimulation:
                 "neighbour capacity keeps overflowing; the particle "
                 "distribution is degenerate (all particles in one cell?)"
             )
-        if cfg.neighbor_impl == "tiles":
+        if cfg.neighbor_impl in ("tiles", "pallas"):
             cfg = dataclasses.replace(cfg, max_candidates=cfg.max_candidates * 2)
+            grown = cfg.max_candidates
         else:
             cfg = dataclasses.replace(cfg, cell_capacity=cfg.cell_capacity * 2)
+            grown = cfg.cell_capacity
         log.warning(
             "neighbour capacity overflow - growing to %s and re-running frame",
-            cfg.max_candidates if cfg.neighbor_impl == "tiles" else cfg.cell_capacity,
+            grown,
         )
         self.step_config = cfg
 
@@ -225,6 +227,15 @@ class SPHSimulation:
 
         while sim_time < p.simulation_time:
             log.info("Simulating frame %d (%gs)", current_frame, sim_time)
+            if self.pre_frame:
+                arrays = fetch_real(state)
+                if self.pre_frame(arrays, p, True):
+                    # re-partition the mutated state across the mesh
+                    st = self._upload(arrays)
+                    st = pad_for_mesh(st, p, self.mesh, self.step_config)
+                    state = jax.tree.map(
+                        lambda a: jax.device_put(a, sharding), st
+                    )
             timeleft = timeperframe
             frame_start_state, frame_start_dt = state, dt
             while timeleft > 0.0:

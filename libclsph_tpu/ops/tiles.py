@@ -41,6 +41,14 @@ from ..core.params import PrecomputedKernelValues, SimulationParameters
 
 SENTINEL_CODE = jnp.uint32((1 << 30) - 1)
 
+# Hierarchical candidate search constants (see candidate_blocks_auto):
+# above ~1024 blocks the dense nb x nc overlap matrix (and its
+# 67M-element scatter at 1M particles: measured 348 ms/step) costs more
+# than the physics, so a superblock prefilter takes over.
+HIERARCHICAL_THRESHOLD = 1024
+SUPER = 16  # blocks per superblock
+SUPER_CAND = 16  # padded candidate superblocks per query block
+
 
 class TileConfig(NamedTuple):
     block_size: int = 128  # B — particles per tile
@@ -53,7 +61,12 @@ def num_blocks(n: int, block_size: int) -> int:
 
 
 def padded_count(n: int, block_size: int) -> int:
-    return num_blocks(n, block_size) * block_size
+    """Particles after sentinel padding: a whole number of blocks AND a
+    whole number of SUPER-block groups, so the hierarchical candidate
+    search (which needs nb % SUPER == 0) is always available."""
+    nb = num_blocks(n, block_size)
+    nb = -(-nb // SUPER) * SUPER
+    return nb * block_size
 
 
 def block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
@@ -159,15 +172,6 @@ def candidate_blocks(
     cand = cand.at[rows, slot].set(cols, mode="drop")
     count = jnp.minimum(row_count, max_candidates)
     return cand[:, :max_candidates], count, jnp.any(row_count > max_candidates)
-
-
-# Above ~1024 blocks the dense nb x nc overlap matrix (and especially
-# its 67M-element scatter at 1M particles: measured 348 ms/step) costs
-# more than the physics; the hierarchical search prefilters through
-# superblocks of SUPER so level 2 runs on a short list.
-HIERARCHICAL_THRESHOLD = 1024
-SUPER = 16  # blocks per superblock
-SUPER_CAND = 16  # padded candidate superblocks per query block
 
 
 def candidate_blocks_hierarchical(
