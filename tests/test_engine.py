@@ -177,3 +177,45 @@ class TestCLIMesh:
             ["water", "test", "cube", "x_", "--root", str(tmp_path), "--mesh", "99"]
         )
         assert code == -1
+
+
+class TestCLILegacyImport:
+    def test_import_legacy_checkpoint(self, tmp_path, monkeypatch):
+        import shutil
+
+        import numpy as np
+
+        from libclsph_tpu import cli
+        from libclsph_tpu.io.legacy import write_legacy_checkpoint
+
+        write_configs(tmp_path, n=256, sim_time=0.017, serialize=True)
+        shutil.copytree(os.path.join(REPO, "scenes"), tmp_path / "scenes")
+        monkeypatch.chdir(tmp_path)
+
+        # craft a reference-format checkpoint with a recognizable state
+        rng = np.random.default_rng(5)
+        pos = (rng.random((256, 3)).astype(np.float32) - 0.5) * 0.2
+        pos[:, 1] += 0.8  # hover noticeably above the default lattice
+        arrays = {
+            "position": pos,
+            "velocity": np.zeros((256, 3), np.float32),
+            "intermediate_velocity": np.zeros((256, 3), np.float32),
+            "acceleration": np.zeros((256, 3), np.float32),
+            "density": np.full(256, 998.0, np.float32),
+            "pressure": np.zeros(256, np.float32),
+            "grid_index": np.zeros(256, np.uint32),
+        }
+        write_legacy_checkpoint(str(tmp_path / "last_frame.bin"), arrays)
+
+        code = cli.main(
+            [
+                "water", "test", "cube", str(tmp_path) + "/L_",
+                "--root", str(tmp_path),
+                "--import-legacy", str(tmp_path / "last_frame.bin"),
+            ]
+        )
+        assert code == 0
+        # first saved frame = the imported state (mean y near 0.8)
+        first = open(str(tmp_path) + "/L_frames/frame0000001.geo").read()
+        ys = [float(l.split()[1]) for l in first.splitlines()[8 : 8 + 256]]
+        assert 0.7 < sum(ys) / len(ys) < 0.9
