@@ -60,6 +60,7 @@ def main():
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=64)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
+    ap.add_argument("--pallas-variant", default="row", choices=["row", "asym"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -78,6 +79,7 @@ def main():
         block_size=args.block_size,
         max_candidates=args.max_candidates,
         tile_mode=args.tile_mode,
+        pallas_variant=args.pallas_variant,
     )
 
     scene_dev = None
@@ -94,15 +96,22 @@ def main():
 
     log(f"platform={platform} n={n} impl={args.impl} scene={args.scene}")
 
-    # warmup + compile
+    # warmup + compile; grow the candidate capacity until no overflow
+    # (mirrors the engine's autotune) so the timed physics is exact
+    import dataclasses
+
     t0 = time.perf_counter()
-    overflow = None
-    for _ in range(args.warmup):
-        state, dt, overflow = substep_jit(state, dt, params, scene_dev, cfg)
-    jax.block_until_ready(state.position)
+    for _ in range(4):
+        s_try, d_try, overflow = state, dt, None
+        for _ in range(args.warmup):
+            s_try, d_try, overflow = substep_jit(s_try, d_try, params, scene_dev, cfg)
+        jax.block_until_ready(s_try.position)
+        if not bool(overflow):
+            break
+        cfg = dataclasses.replace(cfg, max_candidates=cfg.max_candidates * 2)
+        log(f"capacity overflow -> max_candidates={cfg.max_candidates}")
+    state, dt = s_try, d_try
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
-    if bool(overflow):
-        log("WARNING: neighbour capacity overflow, raise --max-candidates")
 
     t0 = time.perf_counter()
     for _ in range(args.steps):

@@ -46,6 +46,7 @@ class StepConfig:
     block_size: int = 128  # tiles path: particles per tile
     max_candidates: int = 64  # tiles path: candidate blocks per tile
     tile_mode: str = "direct"  # tiles path: 'direct' | 'mxu'
+    pallas_variant: str = "row"  # pallas path: 'row' (128x128) | 'asym' (32x128)
     adaptive_dt: bool = True
 
     def tile_config(self) -> tiles_ops.TileConfig:
@@ -130,9 +131,12 @@ def _density_forces_pallas(
     params: SimulationParameters,
     config: StepConfig,
 ):
-    """Fused Pallas kernels (ops/pallas/neighbor.py) behind the same
-    candidate machinery as the tiles path."""
-    from ..ops.pallas import neighbor as pallas_neighbor
+    """Fused Pallas kernels (ops/pallas/) behind the same candidate
+    machinery as the tiles path; variant picked by config.pallas_variant."""
+    if config.pallas_variant == "asym":
+        from ..ops.pallas import neighbor_asym as pallas_neighbor
+    else:
+        from ..ops.pallas import neighbor as pallas_neighbor
 
     terms = params.precomputed()
     cfg = config.tile_config()

@@ -311,3 +311,22 @@ class TestDiagnostics:
         s = density_summary(np.full(100, 998.0, np.float32), params)
         assert s["frac_within_10pct_rest"] == 1.0
         assert not s["any_nonfinite"]
+
+
+@pytest.mark.parametrize("variant", ["row", "asym"])
+def test_pallas_variants_match_tiles(rng, variant):
+    params = make_params(WATER, n=1024)
+    pos, vel = random_cloud(rng, params, 1024)
+    state = make_state(pos, vel)
+    cfg_t = StepConfig(neighbor_impl="tiles", adaptive_dt=False)
+    st, _, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg_t)
+    cfg_p = StepConfig(
+        neighbor_impl="pallas", pallas_variant=variant, adaptive_dt=False
+    )
+    sp, _, ovf = substep_jit(state, jnp.float32(1e-9), params, None, cfg_p)
+    assert not bool(ovf)
+    np.testing.assert_allclose(
+        np.asarray(st.density), np.asarray(sp.density), rtol=1e-5
+    )
+    a1, a2 = np.asarray(st.acceleration), np.asarray(sp.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-4 * np.abs(a1).max())
