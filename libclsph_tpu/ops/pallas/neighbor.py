@@ -61,6 +61,12 @@ def _interpret_default() -> bool:
 # SMEM budget for the scalar-prefetched candidate table
 QUERY_CHUNK = 512
 
+
+def _query_chunk(nb: int, m: int) -> int:
+    """Query blocks per pallas_call: bounded by SMEM (the prefetched
+    cand slice is chunk x m int32; SMEM is ~1 MB, keep cand <= 512 KB)."""
+    return max(8, min(nb, QUERY_CHUNK, (128 * 1024) // max(m, 1)))
+
 MAX_PARTICLES_F32_ID = 1 << 24  # ids stored exactly as f32 values
 
 
@@ -205,7 +211,6 @@ def fused_density(
     nb, b = planes.nb, planes.b
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
-    chunk = min(nb, QUERY_CHUNK)
 
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
@@ -217,6 +222,7 @@ def fused_density(
         cand = jnp.concatenate(
             [cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1
         )
+    chunk = _query_chunk(nb, mp)
 
     def run_chunk(args):
         cand_c, count_c, q = args
@@ -360,7 +366,6 @@ def fused_forces(
     nb, b = planes.nb, planes.b
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
-    chunk = min(nb, QUERY_CHUNK)
 
     kernel = functools.partial(
         _forces_kernel,
@@ -378,6 +383,7 @@ def fused_forces(
         cand = jnp.concatenate(
             [cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1
         )
+    chunk = _query_chunk(nb, mp)
 
     def run_chunk(args):
         cand_c, count_c, q = args

@@ -40,9 +40,9 @@ from ...core import smoothing
 from ...core.params import PrecomputedKernelValues, SimulationParameters
 from .neighbor import (
     MAX_PARTICLES_F32_ID,
-    QUERY_CHUNK,
     _chunked_call,
     _interpret_default,
+    _query_chunk,
 )
 
 SUB = 32  # candidate sub-tile height (sublanes)
@@ -164,11 +164,11 @@ def fused_density(
     s = b // SUB
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
-    chunk = min(nb, QUERY_CHUNK)
     cpg = CANDS_PER_STEP
     mp = -(-m // cpg) * cpg
     if mp != m:
         cand = jnp.concatenate([cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1)
+    chunk = _query_chunk(nb, mp)
 
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6), s=s
@@ -299,11 +299,11 @@ def fused_forces(
     s = b // SUB
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
-    chunk = min(nb, QUERY_CHUNK)
     cpg = CANDS_PER_STEP
     mp = -(-m // cpg) * cpg
     if mp != m:
         cand = jnp.concatenate([cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1)
+    chunk = _query_chunk(nb, mp)
 
     kernel = functools.partial(
         _forces_kernel,

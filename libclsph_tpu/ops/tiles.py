@@ -47,7 +47,7 @@ SENTINEL_CODE = jnp.uint32((1 << 30) - 1)
 # than the physics, so a superblock prefilter takes over.
 HIERARCHICAL_THRESHOLD = 1024
 SUPER = 16  # blocks per superblock
-SUPER_CAND = 16  # padded candidate superblocks per query block
+SUPER_CAND = 128  # padded candidate superblocks per superblock
 
 
 class TileConfig(NamedTuple):
@@ -196,19 +196,44 @@ def candidate_blocks_hierarchical(
         raise ValueError(f"nb={nb} not a multiple of SUPER={SUPER}")
     nsb = nb // SUPER
 
-    # superblock AABBs: union of member split-boxes
-    sb_min = jnp.min(bmin.reshape(nsb, SUPER * 2, 3), axis=1)  # (nsb, 3)
-    sb_max = jnp.max(bmax.reshape(nsb, SUPER * 2, 3), axis=1)
+    # Superblock AABBs, split at the largest inter-member gap: like
+    # blocks (split_block_bounds), superblocks straddle Morton jumps,
+    # and an un-split union box overlaps ~4x more superblocks than the
+    # particles do (measured mean 49 / max 215 vs ~10 real at 1M).
+    mb_min = bmin.reshape(nsb, SUPER, 2, 3)
+    mb_max = bmax.reshape(nsb, SUPER, 2, 3)
+    mem_lo = jnp.min(mb_min, axis=2)  # (nsb, SUPER, 3) member boxes
+    mem_hi = jnp.max(mb_max, axis=2)
+    centers = 0.5 * (mem_lo + mem_hi)
+    gap = jnp.linalg.norm(centers[:, 1:] - centers[:, :-1], axis=-1)
+    split = jnp.argmax(gap, axis=1) + 1  # (nsb,)
+    mem_idx = jnp.arange(SUPER)[None, :]
+    big = jnp.float32(3.0e38)
+
+    def sb_box(mask):
+        m = mask[..., None]
+        return (
+            jnp.min(jnp.where(m, mem_lo, big), axis=1),
+            jnp.max(jnp.where(m, mem_hi, -big), axis=1),
+        )
+
+    lo1, hi1 = sb_box(mem_idx < split[:, None])
+    lo2, hi2 = sb_box(mem_idx >= split[:, None])
+    sb_min = jnp.stack([lo1, lo2], axis=1)  # (nsb, 2, 3)
+    sb_max = jnp.stack([hi1, hi2], axis=1)
 
     # ---- level 1: superblock x superblock (tiny nsb^2 matrix); every
     # block of a query superblock inherits its candidate-superblock list
     lo = bmin - h  # (nb, 2, 3)
     hi = bmax + h
-    ov1 = jnp.all(
-        (sb_min[:, None, :] - h <= sb_max[None, :, :])
-        & (sb_max[:, None, :] + h >= sb_min[None, :, :]),
-        axis=-1,
-    )  # (nsb, nsb)
+    ov1 = jnp.zeros((nsb, nsb), bool)
+    for a in range(2):
+        for c in range(2):
+            ov1 = ov1 | jnp.all(
+                (sb_min[:, None, a, :] - h <= sb_max[None, :, c, :])
+                & (sb_max[:, None, a, :] + h >= sb_min[None, :, c, :]),
+                axis=-1,
+            )
     pos1 = jnp.cumsum(ov1.astype(jnp.int32), axis=1) - 1
     sb_count_sb = pos1[:, -1] + 1
     valid1 = ov1 & (pos1 < super_cand)
@@ -219,53 +244,68 @@ def candidate_blocks_hierarchical(
     sb_cand_sb = sb_cand_sb.at[rows1, slot1].set(cols1, mode="drop")
     sb_cand_sb = sb_cand_sb[:, :super_cand]  # (nsb, Msb)
     sb_overflow = jnp.any(sb_count_sb > super_cand)
-    # expand to per-block views
-    sb_cand = jnp.repeat(sb_cand_sb, SUPER, axis=0)  # (nb, Msb)
-    sb_count = jnp.repeat(sb_count_sb, SUPER, axis=0)  # (nb,)
 
-    # ---- level 2: expand to a block shortlist and test precisely
+    # ---- level 2: precise split-AABB test over the shortlist.
+    # All gathers are at SUPERBLOCK granularity ((nsb, Msb) indices) —
+    # a per-block (nb, K) gather lowers to tens of GB on TPU.
     k = super_cand * SUPER
-    shortlist = (
-        sb_cand[:, :, None] * SUPER
-        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
-    ).reshape(nb, k)  # (nb, K) block indices (dupes only in padding)
-    live = (
-        jnp.arange(super_cand, dtype=jnp.int32)[None, :, None]
-        < jnp.minimum(sb_count, super_cand)[:, None, None]
-    )
-    live = jnp.broadcast_to(live, (nb, super_cand, SUPER)).reshape(nb, k)
-
-    c_lo = jnp.take(bmin, shortlist, axis=0)  # (nb, K, 2, 3)
-    c_hi = jnp.take(bmax, shortlist, axis=0)
-    ov2 = jnp.zeros((nb, k), bool)
+    # candidate member split boxes: (nsb, Msb, SUPER, 2, 3)
+    g_lo = jnp.take(mb_min, sb_cand_sb, axis=0)
+    g_hi = jnp.take(mb_max, sb_cand_sb, axis=0)
+    g_lo = g_lo.reshape(nsb, k, 2, 3)
+    g_hi = g_hi.reshape(nsb, k, 2, 3)
+    # query block split boxes grouped by superblock: (nsb, SUPER, 2, 3)
+    q_lo = (bmin - h).reshape(nsb, SUPER, 2, 3)
+    q_hi = (bmax + h).reshape(nsb, SUPER, 2, 3)
+    ov2 = jnp.zeros((nsb, SUPER, k), bool)
     for a in range(2):
         for c in range(2):
             ov2 = ov2 | jnp.all(
-                (lo[:, None, a, :] <= c_hi[:, :, c, :])
-                & (hi[:, None, a, :] >= c_lo[:, :, c, :]),
+                (q_lo[:, :, None, a, :] <= g_hi[:, None, :, c, :])
+                & (q_hi[:, :, None, a, :] >= g_lo[:, None, :, c, :]),
                 axis=-1,
             )
-    ov2 = ov2 & live
-    is_self = shortlist == jnp.arange(nb, dtype=jnp.int32)[:, None]
-    others = ov2 & ~is_self
-    pos2 = jnp.cumsum(others.astype(jnp.int32), axis=1)  # 1-based
-    row_count = pos2[:, -1] + 1
-    valid2 = others & (pos2 < max_candidates)
-    slot2 = jnp.where(valid2, pos2, max_candidates)
-    rows2 = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[:, None], (nb, k))
-    cand = jnp.zeros((nb, max_candidates + 1), jnp.int32)
-    cand = cand.at[:, 0].set(jnp.arange(nb, dtype=jnp.int32))
-    cand = cand.at[rows2, slot2].set(shortlist, mode="drop")
+    live = (
+        jnp.arange(super_cand, dtype=jnp.int32)[None, :, None]
+        < sb_count_sb[:, None, None]
+    )
+    live = jnp.broadcast_to(live, (nsb, super_cand, SUPER)).reshape(nsb, 1, k)
+    shortlist = (
+        sb_cand_sb[:, :, None] * SUPER
+        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
+    ).reshape(nsb, 1, k)  # (nsb, 1, K) global block ids
+    qids = jnp.arange(nb, dtype=jnp.int32).reshape(nsb, SUPER, 1)
+    others = (ov2 & live & (shortlist != qids)).reshape(nb, k)
+    shortlist = jnp.broadcast_to(shortlist, (nsb, SUPER, k)).reshape(nb, k)
+    # sort-based compaction (cheaper than a (nb, K) scatter on TPU):
+    # matching entries keep their block index, the rest go to +inf-ish,
+    # and an ascending row sort packs matches to the front.
+    sentinel = jnp.int32(2**30)
+    keys = jnp.where(others, shortlist, sentinel)
+    packed = jnp.sort(keys, axis=1)[:, : max_candidates - 1]
+    n_others = jnp.sum(others, axis=1)
+    row_count = n_others + 1  # + the self slot
+    cand = jnp.concatenate(
+        [jnp.arange(nb, dtype=jnp.int32)[:, None], packed], axis=1
+    )
     count = jnp.minimum(row_count, max_candidates)
     overflow = jnp.any(row_count > max_candidates) | sb_overflow
-    return cand[:, :max_candidates], count, overflow
+    return cand, count, overflow
 
 
 def candidate_blocks_auto(bmin, bmax, h, max_candidates):
-    """Pick the dense or hierarchical search by problem size."""
+    """Pick the dense or hierarchical search by problem size.
+
+    The level-1 superblock cap scales with max_candidates so the
+    engine's capacity autotune (which doubles max_candidates on
+    overflow) also relieves level-1 overflow.
+    """
     nb = bmin.shape[0]
     if nb > HIERARCHICAL_THRESHOLD and nb % SUPER == 0:
-        return candidate_blocks_hierarchical(bmin, bmax, h, max_candidates)
+        super_cand = max(SUPER_CAND, max_candidates)
+        return candidate_blocks_hierarchical(
+            bmin, bmax, h, max_candidates, super_cand=super_cand
+        )
     return candidate_blocks(bmin, bmax, h, max_candidates)
 
 

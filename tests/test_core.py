@@ -153,3 +153,30 @@ class TestLattice:
         np.testing.assert_allclose(pos[1] - pos[0], [spacing, 0, 0], atol=1e-6)
         np.testing.assert_allclose(pos[3] - pos[0], [0, spacing, 0], atol=1e-6)
         np.testing.assert_allclose(pos[9] - pos[0], [0, 0, spacing], atol=1e-6)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from libclsph_tpu.utils.profiling import StepTimer
+        import jax.numpy as jnp
+
+        t = StepTimer()
+        for i in range(3):
+            t.lap(jnp.float32(i))
+        s = t.summary()
+        assert s["count"] == 3
+        assert s["mean_ms"] >= 0.0
+        assert s["max_ms"] >= s["min_ms"]
+
+    def test_trace_writes_dir(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from libclsph_tpu.utils.profiling import annotate, trace
+
+        with trace(str(tmp_path)):
+            with annotate("phase"):
+                jax.block_until_ready(jnp.ones(8) * 2)
+        import os
+
+        assert os.listdir(tmp_path)  # trace artifacts written
