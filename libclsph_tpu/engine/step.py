@@ -307,6 +307,8 @@ def substep(
     return final_state, dt_out, overflow
 
 
+# NOTE: no donate_argnums here — the engine's capacity-overflow retry
+# re-runs a frame from the same input state, which donation would free.
 @partial(jax.jit, static_argnames=("params", "config"))
 def substep_jit(state, dt, params, scene, config):
     return substep(state, dt, params, scene, config)
