@@ -270,7 +270,6 @@ class SPHSimulation:
         if self.mesh is not None:
             return self._simulate_sharded()
         p = self.parameters
-        cfg = self.step_config
 
         t_start = _time.perf_counter()
         self.device_scene = collisions_ops.build_device_scene(self.current_scene)
@@ -284,8 +283,7 @@ class SPHSimulation:
 
         arrays = None  # host cache of the current state
         if self.save_frame:
-            arrays = self._fetch(state)
-            self._save(saver, arrays)
+            self._save(saver, self._fetch(state))
 
         fast_path = not self.write_intermediate_frames
 
@@ -332,8 +330,9 @@ class SPHSimulation:
                     dt = jnp.float32(min(dt_f, timeleft) if timeleft < dt_f else dt_f)
                     log.debug("frame time remaining: %g", timeleft)
                     if self.save_frame:
-                        arrays = self._fetch(state)
-                        self._save(saver, arrays)
+                        self._save(saver, self._fetch(state))
+                        # the saver thread owns that snapshot now
+                        arrays = None
                     if self.post_frame:
                         if arrays is None:
                             arrays = self._fetch(state)
@@ -345,8 +344,9 @@ class SPHSimulation:
             current_frame += 1
 
             if fast_path and self.save_frame:
-                arrays = self._fetch(state)
-                self._save(saver, arrays)
+                # the saver thread owns its own snapshot
+                self._save(saver, self._fetch(state))
+                arrays = None
             if fast_path and self.post_frame:
                 if arrays is None:
                     arrays = self._fetch(state)
