@@ -19,6 +19,7 @@ from .core.state import ParticleState, init_state
 from .engine.simulation import SPHSimulation
 from .engine.step import StepConfig, frame_jit, substep_jit
 from .io.houdini import HoudiniFileSaver
+from .models.presets import PRESETS, Preset, get_preset
 from .scene.scene import Scene
 
 __version__ = "0.1.0"
@@ -35,6 +36,9 @@ __all__ = [
     "substep_jit",
     "frame_jit",
     "HoudiniFileSaver",
+    "PRESETS",
+    "Preset",
+    "get_preset",
     "Scene",
     "__version__",
 ]

@@ -61,7 +61,8 @@ def test_water_digest(impl):
         assert d[k] == pytest.approx(v, rel=2e-3), (k, d)
 
 
-def test_mucus_digest():
-    d = digest(MUCUS, "tiles")
+@pytest.mark.parametrize("impl", ["tiles", "pallas"])
+def test_mucus_digest(impl):
+    d = digest(MUCUS, impl)
     for k, v in GOLDEN_MUCUS.items():
         assert d[k] == pytest.approx(v, rel=2e-3), (k, d)
