@@ -11,7 +11,9 @@ final dt scalar ever needs to reach the host.
 
 Three neighbour backends:
 * ``exact``  — per-particle 27-cell gather (ops/neighbors.py),
-  reference-structure parity, used for tests/small N;
+  reference-structure parity. CPU correctness oracle only: its
+  irregular (N, 27*cap) gathers lower to tens of GB on TPU — which is
+  exactly why the tile designs below exist;
 * ``tiles``  — Morton block tiles in XLA (ops/tiles.py);
 * ``pallas`` — fused Pallas TPU kernels over the same candidate
   machinery (ops/pallas/neighbor.py), the production path.
