@@ -58,7 +58,7 @@ def main():
     ap.add_argument("--scene", default="cube", choices=["none", "cube", "box"])
     ap.add_argument("--impl", default="pallas", choices=["tiles", "pallas", "exact"])
     ap.add_argument("--block-size", type=int, default=128)
-    ap.add_argument("--max-candidates", type=int, default=64)
+    ap.add_argument("--max-candidates", type=int, default=96)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
     ap.add_argument("--pallas-variant", default="row", choices=["row", "asym"])
     ap.add_argument("--json-only", action="store_true")
