@@ -11,12 +11,11 @@ Per-shard algorithm (axis "dp"):
 2.  Local Morton sort of the shard's particles. Shards are seeded with
     a host-side global Morton partition (parallel/mesh.py), so each
     shard stays spatially compact and its tiles coherent.
-3.  Neighbour search: local block AABBs are all-gathered, each shard
-    selects candidate blocks from the *global* block table, and the
-    tile passes gather candidate data from all-gathered particle
-    fields. This is the simple, fully-correct exchange; the
-    planned optimisation is boundary-halo ``ppermute`` exchange of
-    only surface blocks.
+3.  Neighbour search, two exchange strategies (see _local_substep):
+    ``all_gather`` gathers every shard's block tables (simple, traffic
+    ~N per step); ``halo`` publishes only each shard's *surface*
+    blocks, so traffic scales with the boundary area instead of the
+    volume. Both are validated equivalent to the single-chip step.
 4.  Adaptive-dt (sph_simulation.cpp:246-262) with ``lax.pmax`` over
     shard-local maxima inside the on-device retry loop, so all chips
     agree on dt with zero host synchronisation.
