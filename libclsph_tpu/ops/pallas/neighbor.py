@@ -43,6 +43,7 @@ i != j exclusions.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -157,9 +158,7 @@ def _chunked_call(run_chunk, chunk, nb, q_args):
 # candidate blocks processed per grid step (amortises per-step
 # pipeline/DMA bookkeeping over several pair tiles); env-overridable
 # for tuning sweeps
-import os as _os
-
-CANDS_PER_STEP = int(_os.environ.get("LIBCLSPH_TPU_CPG", "4"))
+CANDS_PER_STEP = int(os.environ.get("LIBCLSPH_TPU_CPG", "4"))
 
 
 def _density_tile(q, c, out, *, h, poly6):

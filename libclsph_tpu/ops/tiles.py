@@ -78,41 +78,47 @@ def block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
     return bmin, bmax
 
 
-def split_block_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray):
-    """Two AABBs per block, split at the largest intra-block spatial gap.
+# boxes per block in split_block_bounds. With B=128 the candidate count
+# is already near its tiling bound (~(2 + 2h/s)^3 = 33 intersecting
+# blocks; measured mean 34-37 at 1M), so extra split boxes mostly trim
+# the elongated TAIL (max 64 -> 57 with 4 boxes) — cheap insurance
+# against capacity overflows rather than a big mean win.
+SPLIT_BOXES = 4
 
-    The Morton curve occasionally jumps across octant boundaries, so a
-    fixed-size block can contain two distant particle runs; a single
-    AABB then spans the gap and overlaps far more blocks than the
-    particles do (observed 210 overlaps vs ~10 real at 64k particles).
-    Splitting at the argmax position jump makes each half compact.
 
-    Returns (bmin, bmax) of shape (nb, 2, 3). Empty halves produce
-    inverted boxes that overlap nothing.
+def split_block_bounds(
+    pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray, n_boxes: int = SPLIT_BOXES
+):
+    """``n_boxes`` AABBs per block, split at the largest intra-block
+    spatial gaps.
+
+    The Morton curve jumps across octant boundaries, so a fixed-size
+    block can contain several distant particle runs; a single AABB then
+    spans the gaps and overlaps far more blocks than the particles do
+    (observed 210 overlaps vs ~10 real at 64k with one box). Splitting
+    at the top n_boxes-1 position jumps keeps each segment compact.
+
+    Returns (bmin, bmax) of shape (nb, n_boxes, 3). Empty segments
+    produce inverted boxes that overlap nothing.
     """
     big = jnp.float32(3.0e38)
     nb, b, _ = pos_blocked.shape
     # jump[k] = |p[k+1] - p[k]| between consecutive sorted particles
     jump = jnp.linalg.norm(pos_blocked[:, 1:] - pos_blocked[:, :-1], axis=-1)
     jump = jnp.where(real_blocked[:, 1:] & real_blocked[:, :-1], jump, -1.0)
-    split = jnp.argmax(jump, axis=1) + 1  # (nb,) first index of half 2
+    # top (n_boxes - 1) gaps -> split points (ascending)
+    _, top_idx = jax.lax.top_k(jump, n_boxes - 1)  # (nb, n_boxes-1)
+    splits = jnp.sort(top_idx + 1, axis=1)  # first index of each next segment
     idx = jnp.arange(b, dtype=jnp.int32)[None, :]
-    in_first = (idx < split[:, None]) & real_blocked
-    in_second = (idx >= split[:, None]) & real_blocked
+    # segment id of each particle = number of split points <= its index
+    seg = jnp.sum(idx[:, :, None] >= splits[:, None, :], axis=-1)  # (nb, B)
 
-    def box(mask):
-        m = mask[..., None]
-        return (
-            jnp.min(jnp.where(m, pos_blocked, big), axis=1),
-            jnp.max(jnp.where(m, pos_blocked, -big), axis=1),
-        )
-
-    min1, max1 = box(in_first)
-    min2, max2 = box(in_second)
-    return (
-        jnp.stack([min1, min2], axis=1),
-        jnp.stack([max1, max2], axis=1),
-    )
+    mins, maxs = [], []
+    for sgi in range(n_boxes):
+        m = ((seg == sgi) & real_blocked)[..., None]
+        mins.append(jnp.min(jnp.where(m, pos_blocked, big), axis=1))
+        maxs.append(jnp.max(jnp.where(m, pos_blocked, -big), axis=1))
+    return jnp.stack(mins, axis=1), jnp.stack(maxs, axis=1)
 
 
 def candidate_blocks(
@@ -126,7 +132,7 @@ def candidate_blocks(
 ):
     """Padded candidate-block lists from dilated split-AABB overlap.
 
-    ``bmin``/``bmax``: (nb, 2, 3) split boxes from
+    ``bmin``/``bmax``: (nb, S, 3) split boxes from
     :func:`split_block_bounds` (query side); candidate side defaults to
     the query set. ``self_index``: each query block's own index in the
     candidate table (defaults to identity when the sets coincide) — the
@@ -145,12 +151,13 @@ def candidate_blocks(
     if self_index is None:
         self_index = jnp.arange(nb, dtype=jnp.int32)
 
-    lo = bmin - h  # (nb, 2, 3)
+    lo = bmin - h  # (nb, S, 3)
     hi = bmax + h
-    # any-of-4 half-box overlap combinations, accumulated to bound memory
+    # any-of-SxS split-box overlap combinations, accumulated per pair
+    # to bound memory
     overlap = jnp.zeros((nb, nc), bool)
-    for a in range(2):
-        for c in range(2):
+    for a in range(bmin.shape[1]):
+        for c in range(cand_bmin.shape[1]):
             overlap = overlap | jnp.all(
                 (lo[:, None, a, :] <= cand_bmax[None, :, c, :])
                 & (hi[:, None, a, :] >= cand_bmin[None, :, c, :]),
@@ -195,13 +202,14 @@ def candidate_blocks_hierarchical(
     if nb % SUPER:
         raise ValueError(f"nb={nb} not a multiple of SUPER={SUPER}")
     nsb = nb // SUPER
+    n_boxes = bmin.shape[1]
 
     # Superblock AABBs, split at the largest inter-member gap: like
     # blocks (split_block_bounds), superblocks straddle Morton jumps,
     # and an un-split union box overlaps ~4x more superblocks than the
     # particles do (measured mean 49 / max 215 vs ~10 real at 1M).
-    mb_min = bmin.reshape(nsb, SUPER, 2, 3)
-    mb_max = bmax.reshape(nsb, SUPER, 2, 3)
+    mb_min = bmin.reshape(nsb, SUPER, n_boxes, 3)
+    mb_max = bmax.reshape(nsb, SUPER, n_boxes, 3)
     mem_lo = jnp.min(mb_min, axis=2)  # (nsb, SUPER, 3) member boxes
     mem_hi = jnp.max(mb_max, axis=2)
     centers = 0.5 * (mem_lo + mem_hi)
@@ -252,14 +260,14 @@ def candidate_blocks_hierarchical(
     # candidate member split boxes: (nsb, Msb, SUPER, 2, 3)
     g_lo = jnp.take(mb_min, sb_cand_sb, axis=0)
     g_hi = jnp.take(mb_max, sb_cand_sb, axis=0)
-    g_lo = g_lo.reshape(nsb, k, 2, 3)
-    g_hi = g_hi.reshape(nsb, k, 2, 3)
-    # query block split boxes grouped by superblock: (nsb, SUPER, 2, 3)
-    q_lo = (bmin - h).reshape(nsb, SUPER, 2, 3)
-    q_hi = (bmax + h).reshape(nsb, SUPER, 2, 3)
+    g_lo = g_lo.reshape(nsb, k, n_boxes, 3)
+    g_hi = g_hi.reshape(nsb, k, n_boxes, 3)
+    # query block split boxes grouped by superblock
+    q_lo = (bmin - h).reshape(nsb, SUPER, n_boxes, 3)
+    q_hi = (bmax + h).reshape(nsb, SUPER, n_boxes, 3)
     ov2 = jnp.zeros((nsb, SUPER, k), bool)
-    for a in range(2):
-        for c in range(2):
+    for a in range(n_boxes):
+        for c in range(n_boxes):
             ov2 = ov2 | jnp.all(
                 (q_lo[:, :, None, a, :] <= g_hi[:, None, :, c, :])
                 & (q_hi[:, :, None, a, :] >= g_lo[:, None, :, c, :]),

@@ -219,3 +219,34 @@ class TestCLILegacyImport:
         first = open(str(tmp_path) + "/L_frames/frame0000001.geo").read()
         ys = [float(l.split()[1]) for l in first.splitlines()[8 : 8 + 256]]
         assert 0.7 < sum(ys) / len(ys) < 0.9
+
+
+class TestCapacityAutotune:
+    def test_engine_recovers_from_overflow(self, tmp_path):
+        """Start with a deliberately tiny candidate capacity: the engine
+        must detect overflow, grow it, re-run the frame, and produce
+        correct physics (same digest as a roomy-capacity run)."""
+        sim = make_sim(tmp_path, n=512, sim_time=0.017)
+        sim.step_config = StepConfig(neighbor_impl="tiles", max_candidates=2)
+        sim.simulate()
+        tight = np.asarray(sim.state.position)
+        assert sim.capacity_retries >= 1  # it actually grew
+
+        sim2 = make_sim(tmp_path, n=512, sim_time=0.017)
+        sim2.step_config = StepConfig(neighbor_impl="tiles", max_candidates=64)
+        sim2.simulate()
+        roomy = np.asarray(sim2.state.position)
+
+        order1 = np.lexsort(np.round(tight, 6).T)
+        order2 = np.lexsort(np.round(roomy, 6).T)
+        np.testing.assert_allclose(tight[order1], roomy[order2], atol=1e-5)
+
+    def test_engine_gives_up_eventually(self, tmp_path):
+        """Degenerate distributions terminate with a clear error, not an
+        infinite grow loop."""
+        from libclsph_tpu.engine.simulation import MAX_CAPACITY_RETRIES
+
+        sim = make_sim(tmp_path, n=256, sim_time=0.017)
+        sim.capacity_retries = MAX_CAPACITY_RETRIES + 1
+        with pytest.raises(RuntimeError):
+            sim._grow_capacity()

@@ -181,6 +181,10 @@ class TestNativeSerializer:
         expected = geo_format.geo_string(pos, vel, col, 0.05)
         assert open(p).read() == expected
 
+    def test_have_native_probe(self):
+        # CI note: True when native/setup.py build_ext ran (it did here)
+        assert isinstance(geo_format.have_native(), bool)
+
     def test_write_geo_file_roundtrip(self, tmp_path):
         pos = np.zeros((4, 3), np.float32)
         vel = np.zeros((4, 3), np.float32)
