@@ -60,7 +60,7 @@ def main():
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=96)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
-    ap.add_argument("--pallas-variant", default="row", choices=["row", "asym"])
+    ap.add_argument("--pallas-variant", default="row", choices=["row", "fine", "asym"])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 

@@ -48,7 +48,7 @@ class StepConfig:
     block_size: int = 128  # tiles path: particles per tile
     max_candidates: int = 64  # tiles path: candidate blocks per tile
     tile_mode: str = "direct"  # tiles path: 'direct' | 'mxu'
-    pallas_variant: str = "row"  # pallas path: 'row' (128x128) | 'asym' (32x128)
+    pallas_variant: str = "row"  # 'row' (128x128) | 'fine' (32-query rows) | 'asym'
     adaptive_dt: bool = True
 
     def tile_config(self) -> tiles_ops.TileConfig:
@@ -139,6 +139,7 @@ def _density_forces_pallas(
         from ..ops.pallas import neighbor_asym as pallas_neighbor
     else:
         from ..ops.pallas import neighbor as pallas_neighbor
+    q_div = 4 if config.pallas_variant == "fine" else 1
 
     terms = params.precomputed()
     cfg = config.tile_config()
@@ -156,6 +157,9 @@ def _density_forces_pallas(
         bmin, bmax, params.h, cfg.max_candidates
     )
 
+    mk = dict(mass=params.particle_mass)
+    if config.pallas_variant != "asym":
+        mk["q_div"] = q_div
     planes = pallas_neighbor.make_planes(
         state.position,
         state.velocity,
@@ -163,7 +167,7 @@ def _density_forces_pallas(
         state.pressure,
         real,
         cfg.block_size,
-        mass=params.particle_mass,
+        **mk,
     )
     density = pallas_neighbor.fused_density(planes, cand, count, params, terms, real)
     pressure = interactions_ops.tait_pressure(density, params)
@@ -176,7 +180,7 @@ def _density_forces_pallas(
         pressure,
         real,
         cfg.block_size,
-        mass=params.particle_mass,
+        **mk,
     )
     accel = pallas_neighbor.fused_forces(
         planes, cand, count, params, terms, real, density

@@ -89,8 +89,19 @@ class PlanePack(NamedTuple):
 
 
 def make_planes(
-    position, velocity, density, pressure, real, block_size, mass=1.0, gid_offset=0
+    position, velocity, density, pressure, real, block_size, mass=1.0, gid_offset=0,
+    q_div=1,
 ) -> PlanePack:
+    """``q_div`` > 1 packs the *query* side at block_size/q_div
+    granularity (the 'fine' kernel variant): finer query blocks share
+    their parent 128-block's candidate list but let the in-kernel
+    empty-tile early-out skip the ~80% of (sub-query, candidate) tiles
+    whose pairs are all outside the support radius.
+
+    Measured on v5e: ~2x SLOWER than q_div=1 (1167 vs 600 ms at 1M) —
+    4x more grid steps means 4x the per-step pipeline/DMA bookkeeping,
+    which dominates the skipped arithmetic. Kept as a tested variant;
+    see ROUND1_NOTES.md for the full dead-end list."""
     n = position.shape[0]
     nb = n // block_size
     if n + gid_offset >= MAX_PARTICLES_F32_ID:
@@ -104,15 +115,16 @@ def make_planes(
     px, py, pz = position[:, 0], position[:, 1], position[:, 2]
     vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
 
-    def pack(fields, col):
+    def pack(fields, col, div=1):
         a = jnp.stack(fields, axis=0)  # (F, n)
-        a = a.reshape(len(fields), nb, block_size).swapaxes(0, 1)  # (nb, F, B)
+        blocks = nb * div
+        a = a.reshape(len(fields), blocks, block_size // div).swapaxes(0, 1)
         return a[..., None] if col else a
 
     return PlanePack(
-        q_pos=pack([px, py, pz], col=True),
+        q_pos=pack([px, py, pz], col=True, div=q_div),
         c_pos=pack([px, py, pz, realf], col=False),
-        q_force=pack([px, py, pz, vx, vy, vz, pm, gidf], col=True),
+        q_force=pack([px, py, pz, vx, vy, vz, pm, gidf], col=True, div=q_div),
         c_force=pack([px, py, pz, vx, vy, vz, pm, mr, gidf], col=False),
     )
 
@@ -121,33 +133,41 @@ def _q_spec(f, b):
     return pl.BlockSpec((1, f, b, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0))
 
 
-def _c_spec(f, b):
-    return pl.BlockSpec((1, f, b), lambda i, m_, cand_, count_: (cand_[i, m_], 0, 0))
-
-
-def _c_spec_k(f, b, cpg, k):
-    """Candidate spec for slot m*cpg + k (multi-candidate grid steps)."""
+def _c_spec_k(f, b, cpg, k, q_div=1):
+    """Candidate spec for slot m*cpg + k (multi-candidate grid steps).
+    With q_div > 1, query block i uses its parent block's candidates."""
     return pl.BlockSpec(
-        (1, f, b), lambda i, m_, cand_, count_: (cand_[i, m_ * cpg + k], 0, 0)
+        (1, f, b),
+        lambda i, m_, cand_, count_: (cand_[i // q_div, m_ * cpg + k], 0, 0),
     )
 
 
-def _chunked_call(run_chunk, chunk, nb, q_args):
-    """Apply run_chunk over query-block chunks (SMEM-bounded cand table)."""
-    if chunk == nb:
-        return run_chunk(q_args)
-    nch = -(-nb // chunk)
-    pad = nch * chunk - nb
+def _chunked_call(run_chunk, chunk, nb_q, q_div, cand, count, q):
+    """Apply run_chunk over query-block chunks (SMEM-bounded cand
+    table). Query rows chunk by ``chunk``; the candidate table rows (at
+    parent granularity when q_div > 1) chunk by ``chunk // q_div``."""
+    if chunk == nb_q:
+        return run_chunk((cand, count, q))
+    nch = -(-nb_q // chunk)
+    pad_q = nch * chunk - nb_q
+    pad_c = pad_q // q_div
 
-    def cc(a):
+    def cc(a, pad, rows):
         if pad:
             a = jnp.concatenate(
                 [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
             )
-        return a.reshape((nch, chunk) + a.shape[1:])
+        return a.reshape((nch, rows) + a.shape[1:])
 
-    out = jax.lax.map(run_chunk, tuple(cc(a) for a in q_args))
-    return out.reshape((-1,) + out.shape[2:])[:nb]
+    out = jax.lax.map(
+        run_chunk,
+        (
+            cc(cand, pad_c, chunk // q_div),
+            cc(count, pad_c, chunk // q_div),
+            cc(q, pad_q, chunk),
+        ),
+    )
+    return out.reshape((-1,) + out.shape[2:])[:nb_q]
 
 
 # ----------------------------------------------------------------------
@@ -179,7 +199,9 @@ def _density_tile(q, c, out, *, h, poly6):
         out[...] += jnp.sum(w, axis=1, keepdims=True)[None]
 
 
-def _density_kernel(cand_ref, count_ref, q, *cs_and_out, h: float, poly6: float):
+def _density_kernel(
+    cand_ref, count_ref, q, *cs_and_out, h: float, poly6: float, q_div: int = 1
+):
     cs, out = cs_and_out[:-1], cs_and_out[-1]
     i = pl.program_id(0)
     m = pl.program_id(1)
@@ -191,7 +213,7 @@ def _density_kernel(cand_ref, count_ref, q, *cs_and_out, h: float, poly6: float)
     for k, c in enumerate(cs):
         slot = m * len(cs) + k
 
-        @pl.when(slot < count_ref[i])
+        @pl.when(slot < count_ref[i // q_div])
         def _(c=c):
             _density_tile(q, c, out, h=h, poly6=poly6)
 
@@ -207,12 +229,14 @@ def fused_density(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Returns the flat (n,) density over the sorted order."""
-    nb, b = planes.nb, planes.b
+    nb, b = planes.c_pos.shape[0], planes.c_pos.shape[2]
+    nb_q, b_q = planes.q_pos.shape[0], planes.q_pos.shape[2]
+    q_div = nb_q // nb
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
 
     kernel = functools.partial(
-        _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
+        _density_kernel, h=float(params.h), poly6=float(terms.poly_6), q_div=q_div
     )
 
     cpg = CANDS_PER_STEP
@@ -221,27 +245,27 @@ def fused_density(
         cand = jnp.concatenate(
             [cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1
         )
-    chunk = _query_chunk(nb, mp)
+    chunk = max(q_div, _query_chunk(nb_q, mp) // q_div * q_div)
 
     def run_chunk(args):
         cand_c, count_c, q = args
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(chunk, mp // cpg),
-            in_specs=[_q_spec(3, b)]
-            + [_c_spec_k(4, b, cpg, k) for k in range(cpg)],
+            in_specs=[_q_spec(3, b_q)]
+            + [_c_spec_k(4, b, cpg, k, q_div) for k in range(cpg)],
             out_specs=pl.BlockSpec(
-                (1, b, 1), lambda i, m_, cand_, count_: (i, 0, 0)
+                (1, b_q, 1), lambda i, m_, cand_, count_: (i, 0, 0)
             ),
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((chunk, b, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((chunk, b_q, 1), jnp.float32),
             interpret=interpret,
         )(cand_c, count_c, q, *([planes.c_pos] * cpg))
 
-    wsum = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_pos))
+    wsum = _chunked_call(run_chunk, chunk, nb_q, q_div, cand, count, planes.q_pos)
     density = params.particle_mass * wsum.reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
@@ -320,14 +344,15 @@ def _forces_tile(q, c, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
 def _forces_kernel(
     cand_ref,
     count_ref,
-    q,  # (1, 8, B, 1)
-    *cs_and_out,  # cpg x (1, 9, B) candidate packs + (1, 10, B, 1) out
+    q,  # (1, 8, Bq, 1)
+    *cs_and_out,  # cpg x (1, 9, B) candidate packs + (1, 10, Bq, 1) out
     h: float,
     spiky: float,
     visc: float,
     poly6_grad: float,
     poly6_lap: float,
     eps: float,
+    q_div: int = 1,
 ):
     cs, out = cs_and_out[:-1], cs_and_out[-1]
     i = pl.program_id(0)
@@ -340,7 +365,7 @@ def _forces_kernel(
     for k, c in enumerate(cs):
         slot = m * len(cs) + k
 
-        @pl.when(slot < count_ref[i])
+        @pl.when(slot < count_ref[i // q_div])
         def _(c=c):
             _forces_tile(
                 q, c, out,
@@ -362,7 +387,9 @@ def fused_forces(
 ) -> jnp.ndarray:
     """Returns the flat (n, 3) acceleration over the sorted order
     (combine step of forces.cl:110-122 applied to the raw sums)."""
-    nb, b = planes.nb, planes.b
+    nb, b = planes.c_force.shape[0], planes.c_force.shape[2]
+    nb_q, b_q = planes.q_force.shape[0], planes.q_force.shape[2]
+    q_div = nb_q // nb
     m = cand.shape[1]
     interpret = _interpret_default() if interpret is None else interpret
 
@@ -374,6 +401,7 @@ def fused_forces(
         poly6_grad=float(terms.poly_6_gradient),
         poly6_lap=float(terms.poly_6_laplacian),
         eps=smoothing.EPSILON,
+        q_div=q_div,
     )
 
     cpg = CANDS_PER_STEP
@@ -382,28 +410,28 @@ def fused_forces(
         cand = jnp.concatenate(
             [cand, jnp.zeros((nb, mp - m), cand.dtype)], axis=1
         )
-    chunk = _query_chunk(nb, mp)
+    chunk = max(q_div, _query_chunk(nb_q, mp) // q_div * q_div)
 
     def run_chunk(args):
         cand_c, count_c, q = args
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(chunk, mp // cpg),
-            in_specs=[_q_spec(8, b)]
-            + [_c_spec_k(9, b, cpg, k) for k in range(cpg)],
+            in_specs=[_q_spec(8, b_q)]
+            + [_c_spec_k(9, b, cpg, k, q_div) for k in range(cpg)],
             out_specs=pl.BlockSpec(
-                (1, 10, b, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0)
+                (1, 10, b_q, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0)
             ),
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((chunk, 10, b, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((chunk, 10, b_q, 1), jnp.float32),
             interpret=interpret,
         )(cand_c, count_c, q, *([planes.c_force] * cpg))
 
-    sums = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_force))
-    # sums: (nb, 10, B, 1)
+    sums = _chunked_call(run_chunk, chunk, nb_q, q_div, cand, count, planes.q_force)
+    # sums: (nb_q, 10, b_q, 1)
 
     flat = lambda k: sums[:, k].reshape(-1)
     press = jnp.stack([flat(_OPX), flat(_OPY), flat(_OPZ)], axis=1)

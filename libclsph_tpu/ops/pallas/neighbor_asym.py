@@ -191,7 +191,7 @@ def fused_density(
             interpret=interpret,
         )(cand_c, count_c, q, *([planes.c_pos] * cpg))
 
-    wsum = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_pos))
+    wsum = _chunked_call(run_chunk, chunk, nb, 1, cand, count, planes.q_pos)
     density = params.particle_mass * wsum.reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
@@ -333,7 +333,7 @@ def fused_forces(
             interpret=interpret,
         )(cand_c, count_c, q, *([planes.c_force] * cpg))
 
-    sums = _chunked_call(run_chunk, chunk, nb, (cand, count, planes.q_force))
+    sums = _chunked_call(run_chunk, chunk, nb, 1, cand, count, planes.q_force)
     # sums: (nb, 10, B)
 
     flat = lambda k: sums[:, k].reshape(-1)
