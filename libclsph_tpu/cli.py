@@ -38,7 +38,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("out_prefix", help="frames folder prefix")
     ap.add_argument("--partio", action="store_true", help="write .bgeo instead of .geo")
     ap.add_argument(
-        "--neighbor-impl", choices=["tiles", "pallas", "exact"], default="tiles"
+        "--neighbor-impl", choices=["tiles", "pallas", "exact"], default=None,
+        help="default: 'pallas' on TPU, 'tiles' elsewhere",
     )
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=64)
@@ -66,6 +67,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
+    if args.neighbor_impl is None:
+        import jax
+
+        args.neighbor_impl = (
+            "pallas" if jax.default_backend() == "tpu" else "tiles"
+        )
     cfg = StepConfig(
         neighbor_impl=args.neighbor_impl,
         block_size=args.block_size,
