@@ -189,9 +189,7 @@ class SPHSimulation:
     def _simulate_sharded(self) -> float:
         """Multi-chip frame loop: substeps run under shard_map over
         ``self.mesh``; host pays one dt-scalar fetch per substep."""
-        import jax.sharding as jsh
-
-        from ..parallel.mesh import AXIS
+        from ..parallel.mesh import particle_sharding
         from ..parallel.sharded_step import make_sharded_substep, pad_for_mesh
 
         p = self.parameters
@@ -201,7 +199,7 @@ class SPHSimulation:
 
         state = self.init_particles()
         state = pad_for_mesh(state, p, self.mesh, self.step_config)
-        sharding = jsh.NamedSharding(self.mesh, jsh.PartitionSpec(AXIS))
+        sharding = particle_sharding(self.mesh)
         state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
 
         def build_step():

@@ -26,10 +26,6 @@ def particle_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS))
 
 
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())
-
-
 def morton_partition(position: np.ndarray, n_shards: int) -> np.ndarray:
     """Host-side global spatial decomposition: a permutation that
     Morton-orders particles so each shard owns a compact region.
