@@ -330,3 +330,20 @@ def test_pallas_variants_match_tiles(rng, variant):
     )
     a1, a2 = np.asarray(st.acceleration), np.asarray(sp.acceleration)
     np.testing.assert_allclose(a1, a2, atol=1e-4 * np.abs(a1).max())
+
+
+@pytest.mark.parametrize("n", [100, 129, 2049])
+def test_odd_particle_counts(n):
+    """Non-power-of-two and sub-block counts pad correctly through the
+    whole substep (both tile backends)."""
+    from libclsph_tpu.core.state import init_state
+
+    params = make_params(WATER, n=n)
+    state = init_state(params)
+    dt = jnp.float32(params.max_dt)
+    for impl in ["tiles", "pallas"]:
+        cfg = StepConfig(neighbor_impl=impl)
+        s2, _, _ = substep_jit(state, dt, params, None, cfg)
+        assert np.isfinite(np.asarray(s2.position)).all()
+        assert s2.position.shape[0] == n
+        assert float(s2.density.min()) > 0
