@@ -40,7 +40,7 @@ from ..io.async_saver import AsyncSaver
 from ..ops import collisions as collisions_ops
 from ..scene.scene import Scene
 from ..utils.logging import get_logger
-from .step import StepConfig, frame_jit, substep_jit
+from .step import FLAG_CAPACITY, FLAG_GRID_DIM, StepConfig, frame_jit, substep_jit
 
 MAX_CAPACITY_RETRIES = 6
 
@@ -162,7 +162,11 @@ class SPHSimulation:
                 "distribution is degenerate (all particles in one cell?)"
             )
         if cfg.neighbor_impl in ("tiles", "pallas"):
-            cfg = dataclasses.replace(cfg, max_candidates=cfg.max_candidates * 2)
+            cfg = dataclasses.replace(
+                cfg,
+                max_candidates=cfg.max_candidates * 2,
+                max_candidates_sub=cfg.max_candidates_sub * 2,
+            )
             grown = cfg.max_candidates
         else:
             cfg = dataclasses.replace(cfg, cell_capacity=cfg.cell_capacity * 2)
@@ -172,6 +176,22 @@ class SPHSimulation:
             grown,
         )
         self.step_config = cfg
+
+    def _needs_rerun(self, flags) -> bool:
+        """Interpret the substep's status bitfield. Returns True when
+        the frame must be re-run (neighbour capacity grown); raises on
+        unrecoverable conditions."""
+        f = int(flags)
+        if f & FLAG_GRID_DIM:
+            raise RuntimeError(
+                "simulation exploded: a grid axis reached the 1024-cell "
+                "Morton limit (reference aborts here too, "
+                "sph_simulation.cpp:722-724); check dt / fluid stiffness"
+            )
+        if f & FLAG_CAPACITY:
+            self._grow_capacity()
+            return True
+        return False
 
     def _save(self, saver: AsyncSaver, arrays: dict):
         p = self.parameters
@@ -237,9 +257,8 @@ class SPHSimulation:
             timeleft = timeperframe
             frame_start_state, frame_start_dt = state, dt
             while timeleft > 0.0:
-                new_state, dt_dev, ovf = step(state, dt)
-                if bool(ovf):
-                    self._grow_capacity()
+                new_state, dt_dev, flags = step(state, dt)
+                if self._needs_rerun(flags):
                     step = build_step()
                     state, dt = frame_start_state, frame_start_dt
                     timeleft = timeperframe
@@ -298,13 +317,12 @@ class SPHSimulation:
                 # whole frame on device — one dispatch; one scalar
                 # (the capacity flag) read back per frame
                 while True:
-                    new_state, new_dt, ovf = frame_jit(
+                    new_state, new_dt, flags = frame_jit(
                         state, dt, p, self.device_scene, self.step_config
                     )
-                    if not bool(ovf):
+                    if not self._needs_rerun(flags):
                         state, dt = new_state, new_dt
                         break
-                    self._grow_capacity()
                 arrays = None
             else:
                 timeleft = timeperframe
@@ -315,13 +333,12 @@ class SPHSimulation:
                         if self.pre_frame(arrays, p, False):
                             state = self._upload(arrays)
                     while True:
-                        new_state, dt_dev, ovf = substep_jit(
+                        new_state, dt_dev, flags = substep_jit(
                             state, dt, p, self.device_scene, self.step_config
                         )
-                        if not bool(ovf):
+                        if not self._needs_rerun(flags):
                             state = new_state
                             break
-                        self._grow_capacity()
                     arrays = None
                     dt_f = float(dt_dev)
                     timeleft -= dt_f

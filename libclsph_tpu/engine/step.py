@@ -34,8 +34,13 @@ from ..ops import collisions as collisions_ops
 from ..ops import grid as grid_ops
 from ..ops import integrate as integrate_ops
 from ..ops import interactions as interactions_ops
+from ..core import morton
 from ..ops import neighbors as neighbors_ops
 from ..ops import tiles as tiles_ops
+
+# Bits of the substep's device status flag (int32):
+FLAG_CAPACITY = 1  # static neighbour capacity truncated real neighbours
+FLAG_GRID_DIM = 2  # a grid axis reached the 10-bit Morton limit (1024)
 
 
 @jax.tree_util.register_static
@@ -48,7 +53,10 @@ class StepConfig:
     block_size: int = 128  # tiles path: particles per tile
     max_candidates: int = 64  # tiles path: candidate blocks per tile
     tile_mode: str = "direct"  # tiles path: 'direct' | 'mxu'
-    pallas_variant: str = "row"  # 'row' (128x128) | 'fine' (32-query rows) | 'asym'
+    # 'nl' (gathered 32-particle subblocks, ~3-4x less pair volume) |
+    # 'row' (128x128 prefetch-DMA) | 'fine' (32-query rows) | 'asym'
+    pallas_variant: str = "nl"
+    max_candidates_sub: int = 192  # nl variant: refined subblock cap
     adaptive_dt: bool = True
 
     def tile_config(self) -> tiles_ops.TileConfig:
@@ -135,6 +143,8 @@ def _density_forces_pallas(
 ):
     """Fused Pallas kernels (ops/pallas/) behind the same candidate
     machinery as the tiles path; variant picked by config.pallas_variant."""
+    if config.pallas_variant == "nl":
+        return _density_forces_pallas_nl(state, real, params, config)
     if config.pallas_variant == "asym":
         from ..ops.pallas import neighbor_asym as pallas_neighbor
     else:
@@ -188,6 +198,69 @@ def _density_forces_pallas(
     return density, pressure, accel, overflow
 
 
+def _density_forces_pallas_nl(
+    state: ParticleState,
+    real: jnp.ndarray,
+    params: SimulationParameters,
+    config: StepConfig,
+):
+    """Round-2 production path: block candidates refined to 32-particle
+    subblocks, data pre-gathered into dense lane-packed tiles
+    (ops/pallas/neighbor_nl.py) — ~3-4x less pair volume than the
+    block-granularity kernels."""
+    from ..ops.pallas import neighbor_nl as nl
+
+    terms = params.precomputed()
+    cfg = config.tile_config()
+
+    blocked = tiles_ops.make_blocked(
+        state.position,
+        state.velocity,
+        state.density,
+        state.pressure,
+        real,
+        cfg.block_size,
+    )
+    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
+    cand, count, ovf = tiles_ops.candidate_blocks_auto(
+        bmin, bmax, params.h, cfg.max_candidates
+    )
+    sub = cfg.block_size // nl.SUB
+    sub_lo, sub_hi = tiles_ops.subblock_bounds(blocked.position, blocked.real, sub)
+    cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
+        cand, count, bmin, bmax, sub_lo, sub_hi, params.h, sub,
+        config.max_candidates_sub,
+    )
+    overflow = ovf | ovf2
+
+    mass = params.particle_mass
+    q_pos, _ = nl.make_query_planes(
+        state.position, state.velocity, state.density, state.pressure,
+        real, cfg.block_size, mass=mass,
+    )
+    c_pos_pack, _ = nl.make_csub_packs(
+        state.position, state.velocity, state.density, state.pressure,
+        real, mass=mass,
+    )
+    density = nl.fused_density_nl(
+        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real
+    )
+    pressure = interactions_ops.tait_pressure(density, params)
+    pressure = jnp.where(real, pressure, 0.0)
+
+    _, q_force = nl.make_query_planes(
+        state.position, state.velocity, density, pressure,
+        real, cfg.block_size, mass=mass,
+    )
+    _, c_force_pack = nl.make_csub_packs(
+        state.position, state.velocity, density, pressure, real, mass=mass,
+    )
+    accel = nl.fused_forces_nl(
+        q_force, c_force_pack, cand_sub, count_sub, params, terms, real, density
+    )
+    return density, pressure, accel, overflow
+
+
 def _advect_collide(
     state: ParticleState,
     scene: Optional[collisions_ops.DeviceScene],
@@ -224,12 +297,17 @@ def substep(
     scene: Optional[collisions_ops.DeviceScene],
     config: StepConfig,
 ):
-    """One SPH substep. Returns (new_state, dt_next, overflow).
+    """One SPH substep. Returns (new_state, dt_next, flags).
 
-    ``overflow`` (device bool scalar) reports that the static neighbour
-    capacity (tile candidate cap / exact-path cell capacity) truncated
-    real neighbours this step; the engine responds by re-running the
-    frame at a larger capacity (see engine/simulation.py autotune).
+    ``flags`` (device int32 scalar) is a bitfield:
+    * FLAG_CAPACITY — the static neighbour capacity (tile candidate cap
+      / exact-path cell capacity) truncated real neighbours this step;
+      the engine responds by re-running the frame at a larger capacity
+      (see engine/simulation.py autotune).
+    * FLAG_GRID_DIM — a grid axis reached morton.MAX_GRID_DIM cells, so
+      Morton codes would alias and neighbour physics would silently go
+      wrong. The reference hard-aborts on this
+      (sph_simulation.cpp:722-724); the engine raises.
 
     Note: like the reference (which ping-pongs buffers and never
     un-sorts), the returned state is in Morton-sorted order — particle
@@ -242,6 +320,8 @@ def substep(
     # ---- grid bounds + cell assignment (on-device findMinMaxPosition)
     grid = grid_ops.compute_bounds(state.position, params)
     codes = grid_ops.locate_in_grid(state.position, grid)
+    # 10-bit Morton limit guard (sph_simulation.cpp:722-724)
+    grid_bad = jnp.any(grid.grid_size >= morton.MAX_GRID_DIM)
 
     if config.neighbor_impl in ("tiles", "pallas"):
         # pad to a whole number of blocks; sentinels sort last
@@ -310,7 +390,11 @@ def substep(
     else:
         final_state, dt_out = first_state, first_dt
 
-    return final_state, dt_out, overflow
+    flags = (
+        overflow.astype(jnp.int32) * FLAG_CAPACITY
+        + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
+    )
+    return final_state, dt_out, flags
 
 
 # NOTE: no donate_argnums here — the engine's capacity-overflow retry
@@ -324,10 +408,10 @@ def substep_jit(state, dt, params, scene, config):
 def frame_jit(state, dt, params, scene, config):
     """A whole frame's substep loop on device (sph_simulation.cpp:384-409).
 
-    Carries (state, dt, timeleft, overflow); loops until the frame time
+    Carries (state, dt, timeleft, flags); loops until the frame time
     budget is exhausted, clamping dt to timeleft exactly like the host
-    loop (:391-394). Returns (state, dt, overflow) ready for the next
-    frame; ``overflow`` ORs the per-substep capacity flags.
+    loop (:391-394). Returns (state, dt, flags) ready for the next
+    frame; ``flags`` ORs the per-substep status bitfields.
     """
     timeperframe = jnp.float32(params.frame_time)
 
@@ -336,13 +420,13 @@ def frame_jit(state, dt, params, scene, config):
         return timeleft > 0.0
 
     def body(carry):
-        st, dt_cur, timeleft, ovf = carry
-        st, dt_next, ovf_step = substep(st, dt_cur, params, scene, config)
+        st, dt_cur, timeleft, flags = carry
+        st, dt_next, step_flags = substep(st, dt_cur, params, scene, config)
         timeleft = timeleft - dt_next
         dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)
-        return st, dt_next, timeleft, ovf | ovf_step
+        return st, dt_next, timeleft, flags | step_flags
 
-    state, dt, _, overflow = jax.lax.while_loop(
-        cond, body, (state, dt, timeperframe, jnp.asarray(False))
+    state, dt, _, flags = jax.lax.while_loop(
+        cond, body, (state, dt, timeperframe, jnp.int32(0))
     )
-    return state, dt, overflow
+    return state, dt, flags

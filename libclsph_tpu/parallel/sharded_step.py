@@ -36,9 +36,10 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..core import morton
 from ..core.params import SimulationParameters
 from ..core.state import ParticleState
-from ..engine.step import StepConfig, _advect_collide
+from ..engine.step import FLAG_CAPACITY, FLAG_GRID_DIM, StepConfig, _advect_collide
 from ..ops import collisions as collisions_ops
 from ..ops import grid as grid_ops
 from ..ops import integrate as integrate_ops
@@ -115,6 +116,8 @@ def _local_substep(
         grid_size=((gmax - gmin) / cell).astype(jnp.int32),
         cell_side=cell,
     )
+    # 10-bit Morton limit guard (sph_simulation.cpp:722-724)
+    grid_bad = jnp.any(grid.grid_size >= morton.MAX_GRID_DIM)
 
     # ---- 2. local Morton sort
     codes = grid_ops.locate_in_grid(state.position, grid)
@@ -314,8 +317,12 @@ def _local_substep(
     else:
         final_state, dt_out = first_state, first_dt
 
-    overflow = jax.lax.pmax(overflow.astype(jnp.int32), AXIS) > 0
-    return final_state, dt_out, overflow
+    flags = (
+        overflow.astype(jnp.int32) * FLAG_CAPACITY
+        + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
+    )
+    flags = jax.lax.pmax(flags, AXIS)
+    return final_state, dt_out, flags
 
 
 def make_sharded_substep(

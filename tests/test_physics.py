@@ -347,3 +347,37 @@ def test_odd_particle_counts(n):
         assert np.isfinite(np.asarray(s2.position)).all()
         assert s2.position.shape[0] == n
         assert float(s2.density.min()) > 0
+
+
+def test_grid_dim_guard(rng):
+    """An exploded domain (extent > 1024 Morton cells) must raise the
+    FLAG_GRID_DIM bit instead of silently aliasing cell codes — the
+    analog of the reference's hard abort (sph_simulation.cpp:722-724)."""
+    from libclsph_tpu.engine.step import FLAG_GRID_DIM
+
+    params = make_params(WATER, n=256)
+    pos, vel = random_cloud(rng, params, 256)
+    # one runaway particle stretches the grid past the 10-bit limit
+    pos[0] = (2000.0 * params.cell_side, 0.0, 0.0)
+    state = make_state(pos, vel)
+    cfg = StepConfig(neighbor_impl="tiles", adaptive_dt=False)
+    _, _, flags = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+    assert int(flags) & FLAG_GRID_DIM
+
+    # a healthy domain does not raise it
+    pos2, vel2 = random_cloud(rng, params, 256)
+    _, _, flags2 = substep_jit(
+        make_state(pos2, vel2), jnp.float32(1e-9), params, None, cfg
+    )
+    assert not (int(flags2) & FLAG_GRID_DIM)
+
+
+def test_engine_raises_on_grid_explosion():
+    """SPHSimulation._needs_rerun raises on FLAG_GRID_DIM."""
+    from libclsph_tpu.engine.simulation import SPHSimulation
+    from libclsph_tpu.engine.step import FLAG_CAPACITY, FLAG_GRID_DIM
+
+    sim = SPHSimulation()
+    with pytest.raises(RuntimeError, match="1024"):
+        sim._needs_rerun(FLAG_GRID_DIM)
+    assert sim._needs_rerun(0) is False
