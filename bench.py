@@ -60,7 +60,11 @@ def main():
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=96)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
-    ap.add_argument("--pallas-variant", default="row", choices=["row", "fine", "asym"])
+    ap.add_argument(
+        "--pallas-variant", default="nl", choices=["nl", "row", "fine", "asym"]
+    )
+    ap.add_argument("--nl-query-rows", type=int, default=128)
+    ap.add_argument("--max-candidates-sub", type=int, default=192)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -80,6 +84,8 @@ def main():
         max_candidates=args.max_candidates,
         tile_mode=args.tile_mode,
         pallas_variant=args.pallas_variant,
+        nl_query_rows=args.nl_query_rows,
+        max_candidates_sub=args.max_candidates_sub,
     )
 
     scene_dev = None
@@ -108,7 +114,11 @@ def main():
         jax.block_until_ready(s_try.position)
         if not bool(overflow):
             break
-        cfg = dataclasses.replace(cfg, max_candidates=cfg.max_candidates * 2)
+        cfg = dataclasses.replace(
+            cfg,
+            max_candidates=cfg.max_candidates * 2,
+            max_candidates_sub=cfg.max_candidates_sub * 2,
+        )
         log(f"capacity overflow -> max_candidates={cfg.max_candidates}")
     state, dt = s_try, d_try
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")

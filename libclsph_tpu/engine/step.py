@@ -57,6 +57,11 @@ class StepConfig:
     # 'row' (128x128 prefetch-DMA) | 'fine' (32-query rows) | 'asym'
     pallas_variant: str = "nl"
     max_candidates_sub: int = 192  # nl variant: refined subblock cap
+    # nl variant: query rows per kernel tile (128 | 64 | 32). Finer
+    # query blocks shrink the dilated query box and with it the
+    # refined candidate volume (~35% fewer pair tests at 32 vs 128 on
+    # a settled 262k cloud) at the cost of more grid steps.
+    nl_query_rows: int = 128
     adaptive_dt: bool = True
 
     def tile_config(self) -> tiles_ops.TileConfig:
@@ -227,8 +232,19 @@ def _density_forces_pallas_nl(
     )
     sub = cfg.block_size // nl.SUB
     sub_lo, sub_hi = tiles_ops.subblock_bounds(blocked.position, blocked.real, sub)
+    q_rows = min(config.nl_query_rows, cfg.block_size)
+    q_rep = cfg.block_size // q_rows
+    if q_rep > 1:
+        # finer query boxes; each child block reuses its parent's
+        # coarse candidate list (row repeat)
+        qlo, qhi = tiles_ops.subblock_bounds(blocked.position, blocked.real, q_rep)
+        qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+        cand_q = jnp.repeat(cand, q_rep, axis=0)
+        count_q = jnp.repeat(count, q_rep, axis=0)
+    else:
+        qlo, qhi, cand_q, count_q = bmin, bmax, cand, count
     cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
-        cand, count, bmin, bmax, sub_lo, sub_hi, params.h, sub,
+        cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
         config.max_candidates_sub,
     )
     overflow = ovf | ovf2
@@ -236,7 +252,7 @@ def _density_forces_pallas_nl(
     mass = params.particle_mass
     q_pos, _ = nl.make_query_planes(
         state.position, state.velocity, state.density, state.pressure,
-        real, cfg.block_size, mass=mass,
+        real, q_rows, mass=mass,
     )
     c_pos_pack, _ = nl.make_csub_packs(
         state.position, state.velocity, state.density, state.pressure,
@@ -250,7 +266,7 @@ def _density_forces_pallas_nl(
 
     _, q_force = nl.make_query_planes(
         state.position, state.velocity, density, pressure,
-        real, cfg.block_size, mass=mass,
+        real, q_rows, mass=mass,
     )
     _, c_force_pack = nl.make_csub_packs(
         state.position, state.velocity, density, pressure, real, mass=mass,

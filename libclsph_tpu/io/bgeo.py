@@ -25,15 +25,19 @@ import numpy as np
 _BE = ">"
 
 
+# classic-geo attribute type codes (partio BGEO.cpp: FLOAT=0, INT=1,
+# VECTOR=5)
+_TCODE = {"float": 0, "int": 1, "vector": 5}
+
+
 def _write_attrib_def(out: IO[bytes], name: str, size: int, dtype: str) -> None:
     nb = name.encode()
-    out.write(struct.pack(_BE + "h", len(nb)))
+    out.write(struct.pack(_BE + "H", len(nb)))
     out.write(nb)
-    # type codes: 0 = float, 1 = int (classic geo)
-    tcode = 0 if dtype == "float" else 1
-    out.write(struct.pack(_BE + "Hi", size, tcode))
+    out.write(struct.pack(_BE + "Hi", size, _TCODE[dtype]))
     for _ in range(size):
-        out.write(struct.pack(_BE + ("f" if dtype == "float" else "i"), 0))
+        # defaults are written as 4-byte words regardless of type
+        out.write(struct.pack(_BE + "i", 0))
 
 
 def dump_bgeo(
@@ -53,8 +57,10 @@ def dump_bgeo(
     # npointattrib nvertexattrib nprimattrib nattrib
     out.write(struct.pack(_BE + "4i", 5, 0, 0, 0))
 
-    _write_attrib_def(out, "v", 3, "float")
-    _write_attrib_def(out, "color", 3, "float")
+    # the reference adapter's attribute set and types
+    # (PartioFunctions.h:8-13; position rides the homogeneous slot)
+    _write_attrib_def(out, "velocity", 3, "vector")
+    _write_attrib_def(out, "color", 3, "vector")
     _write_attrib_def(out, "id", 1, "int")
     _write_attrib_def(out, "mass", 1, "float")
     _write_attrib_def(out, "pscale", 1, "float")

@@ -182,20 +182,31 @@ CANDS_PER_STEP = int(os.environ.get("LIBCLSPH_TPU_CPG", "4"))
 
 
 def _density_tile(q, c, out, *, h, poly6):
+    """q/c refs in the (1, F, B, 1) / (1, F, B) layouts above."""
+    _density_core(
+        lambda k: q[0, k], lambda k: c[0, k : k + 1, :], out, h=h, poly6=poly6
+    )
+
+
+def _density_core(col, row, out, *, h, poly6):
+    """Layout-agnostic pair tile: ``col(k)`` -> (B, 1) query field,
+    ``row(k)`` -> (1, B) candidate field."""
     h2 = h * h
-    dx = q[0, 0] - c[0, 0:1, :]  # (B, 1) - (1, B) -> (B, B)
-    dy = q[0, 1] - c[0, 1:2, :]
-    dz = q[0, 2] - c[0, 2:3, :]
+    dx = col(0) - row(0)  # (B, 1) - (1, B) -> (B, B)
+    dy = col(1) - row(1)
+    dz = col(2) - row(2)
     r2 = dx * dx + dy * dy + dz * dz
     incl = r2 < h2
 
     @pl.when(jnp.any(incl))
     def _():
         # the reference's floor(r/h) cutoff factor (smoothing.cl:1-4)
-        # is exactly the r<h predicate; poly6 needs only r^2
-        t = h2 - r2
-        mask = jnp.where(incl, poly6, 0.0) * c[0, 3:4, :]
-        w = mask * (t * t * t)
+        # is exactly the r<h predicate; poly6 needs only r^2.
+        # t is zeroed BEFORE cubing: far-away rows (sentinel padding /
+        # dead gathered slots) have r2 large enough that (h2-r2)^3
+        # overflows f32, and 0 * inf would poison the sum with NaN.
+        t = jnp.where(incl, h2 - r2, 0.0)
+        w = (poly6 * row(3)) * (t * t * t)
         out[...] += jnp.sum(w, axis=1, keepdims=True)[None]
 
 
@@ -283,9 +294,20 @@ _CX, _CY, _CZ, _CVX, _CVY, _CVZ, _CPM, _CMR, _CGID = range(9)
 
 
 def _forces_tile(q, c, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
+    """q/c refs in the (1, F, B, 1) / (1, F, B) layouts above."""
+    _forces_core(
+        lambda k: q[0, k],
+        lambda k: c[0, k : k + 1, :],
+        out,
+        h=h, spiky=spiky, visc=visc,
+        poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+    )
+
+
+def _forces_core(col, row, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
+    """Layout-agnostic pair tile: ``col(k)`` -> (B, 1) query field,
+    ``row(k)`` -> (1, B) candidate field."""
     h2 = h * h
-    row = lambda k: c[0, k : k + 1, :]  # (1, B)
-    col = lambda k: q[0, k]  # (B, 1)
 
     dx = col(_QX) - row(_CX)  # (B, B)
     dy = col(_QY) - row(_CY)

@@ -1,0 +1,331 @@
+"""Gathered-subblock ("neighbour list") Pallas kernels — round-2
+production path.
+
+Round 1's fused kernels (neighbor.py) DMA whole 128-particle candidate
+blocks through scalar-prefetched index maps; the candidate superset is
+~4.7k pair tests per particle at 1M against ~30 real neighbours,
+because the candidate-side granularity is a full Morton block. Mosaic
+cannot DMA at finer (32-lane) granularity — lane-dim blocks must be
+128 — so this module moves the irregular access OUT of the kernel:
+
+1. candidate lists are refined to 32-particle subblocks against the
+   dilated query boxes (tiles.refine_candidates) — the candidate-side
+   extent shrinks ~4^(1/3), cutting pair volume ~35%, and finer query
+   blocks (StepConfig.nl_query_rows) cut it further (~55% at 32 rows);
+2. XLA pre-gathers subblock field packs and lane-packs GROUP=4
+   subblocks into each 128-lane tile: a dense tile stream — no
+   data-dependent DMA remains in the kernel;
+3. the kernel is a plain dense sweep over (query block, candidate
+   tile) with the per-block tile count scalar-prefetched for the
+   compute skip. Pair math is shared with neighbor.py
+   (_density_core/_forces_core).
+
+LAYOUT RULE (hard-won): every large intermediate must be padding-free
+under the TPU's (8, 128) tiled layout. A (rows, F, SUB) gather output
+pads 32->128 lanes and 9->16 sublanes = 7.1x HBM expansion (measured:
+11.5 GB at 1M — instant OOM). So the candidate pack stores FLAT rows
+(nc+1, F*SUB), the gather is chunked, and the kernel consumes a flat
+2D (nb*mg*F, 128) tile stream whose dims are exact tile multiples.
+
+Physics identical to ops/tiles.py / neighbor.py (and therefore to
+compute_density_with_grid / compute_internal_forces_with_grid,
+forces.cl:14-111), including the spiky r->0 singular branch and the
+i != j exclusion.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import smoothing
+from ...core.params import PrecomputedKernelValues, SimulationParameters
+from .neighbor import (
+    MAX_PARTICLES_F32_ID,
+    _density_core,
+    _forces_core,
+    _interpret_default,
+)
+
+LANES = 128
+SUB = 32  # candidate subblock size
+GROUP = LANES // SUB  # subblocks packed per tile
+# candidate tiles consumed per grid step. The flat 2D tile stream is
+# blocked (TPS*F, 128); TPS=8 makes the sublane extent divisible by 8
+# (Mosaic's tiling rule) for both F=4 (32 rows) and F=9 (72 rows),
+# while the per-tile pl.when compute skip stays tile-granular.
+TPS = 8
+# Python float, not jnp (jnp module-level scalars become hoisted jaxpr
+# constants; see tiles.SENTINEL_CODE note)
+FAR = 1.0e8  # dead-row position: never within any support radius
+# transient budget for the gather's (rows, M, F*SUB) intermediate
+GATHER_CHUNK_BYTES = 256 << 20
+
+
+def make_query_planes(position, velocity, density, pressure, real, block_size,
+                      mass=1.0, gid_offset=0):
+    """Column-oriented query packs (see neighbor.py layouts):
+    q_pos (nb, 3, B, 1), q_force (nb, 8, B, 1)."""
+    n = position.shape[0]
+    nb = n // block_size
+    # (gid_offset may be a traced shard index under shard_map; the
+    # exact-f32 range check only applies to concrete offsets)
+    if isinstance(gid_offset, int) and n + gid_offset >= MAX_PARTICLES_F32_ID:
+        raise ValueError("particle ids exceed exact-f32 range")
+    safe_rho = jnp.where(density > 0, density, 1.0)
+    pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
+    gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+
+    def pack(fields):
+        a = jnp.stack(fields, axis=0)  # (F, n)
+        return a.reshape(len(fields), nb, block_size).swapaxes(0, 1)[..., None]
+
+    return pack([px, py, pz]), pack([px, py, pz, vx, vy, vz, pm, gidf])
+
+
+def make_csub_packs(position, velocity, density, pressure, real,
+                    mass=1.0, gid_offset=0, gid=None):
+    """Row-oriented candidate subblock packs in the flat padding-free
+    layout (see module docstring), each with ONE trailing dead row
+    (index nc) that refined sentinel slots map to:
+
+    c_pos   (nc+1, 4*SUB) — px py pz realmask
+    c_force (nc+1, 9*SUB) — px py pz vx vy vz pm mr gid
+
+    ``gid``: explicit flat int32 particle-id plane (e.g. of a gathered
+    multi-shard table, parallel/sharded_step.py); defaults to
+    arange + gid_offset. Ids must stay below 2^24 for exact f32.
+    """
+    n = position.shape[0]
+    nc = n // SUB
+    if gid is None and isinstance(gid_offset, int) and (
+        n + gid_offset >= MAX_PARTICLES_F32_ID
+    ):
+        raise ValueError("particle ids exceed exact-f32 range")
+    realf = real.astype(jnp.float32)
+    safe_rho = jnp.where(density > 0, density, 1.0)
+    pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
+    mr = jnp.where(real, mass / safe_rho, 0.0)
+    if gid is None:
+        gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
+    else:
+        gidf = gid.astype(jnp.float32)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+
+    def pack(fields):
+        f = len(fields)
+        a = jnp.stack(fields, axis=0)  # (F, n)
+        a = a.reshape(f, nc, SUB).swapaxes(0, 1).reshape(nc, f * SUB)
+        dead = jnp.zeros((1, f * SUB), jnp.float32)
+        dead = dead.at[:, : 3 * SUB].set(FAR)  # positions first
+        return jnp.concatenate([a, dead], axis=0)
+
+    c_pos = pack([px, py, pz, realf])
+    c_force = pack([px, py, pz, vx, vy, vz, pm, mr, gidf])
+    return c_pos, c_force
+
+
+def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray) -> jnp.ndarray:
+    """Gather + lane-pack candidate subblocks: (nc+1, F*SUB) flat pack
+    and (nb, M) refined ids (dead slots >= pack rows) -> the flat 2D
+    (nb * M/GROUP * F, LANES) tile stream consumed sequentially by the
+    kernel grid. Chunked over query blocks so the (rows, M, F*SUB)
+    gather transient stays under GATHER_CHUNK_BYTES."""
+    nb, m = cand_sub.shape
+    fs = cpack.shape[1]
+    f = fs // SUB
+    dead = cpack.shape[0] - 1
+    idx = jnp.minimum(cand_sub, dead)
+    mg = m // GROUP
+
+    def run(ix):
+        rows = ix.shape[0]
+        g = jnp.take(cpack, ix, axis=0)  # (rows, M, F*SUB)
+        g = g.reshape(rows, mg, GROUP, f, SUB).swapaxes(2, 3)
+        return g.reshape(rows * mg * f, LANES)
+
+    chunk_rows = max(1, GATHER_CHUNK_BYTES // (m * fs * 4))
+    if nb <= chunk_rows:
+        return run(idx)
+    nch = -(-nb // chunk_rows)
+    rows = -(-nb // nch)
+    pad = nch * rows - nb
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.full((pad, m), dead, idx.dtype)], axis=0
+        )
+    out = jax.lax.map(run, idx.reshape(nch, rows, m))
+    return out.reshape(-1, LANES)[: nb * mg * f]
+
+
+def _pad_groups(cand_sub, count):
+    """Pad the refined table to a whole number of (GROUP*TPS)-subblock
+    grid steps and convert counts to tile units."""
+    from ...ops.tiles import REFINE_SENTINEL
+
+    nb, m = cand_sub.shape
+    step = GROUP * TPS
+    mp = -(-m // step) * step
+    if mp != m:
+        pad = jnp.full((nb, mp - m), REFINE_SENTINEL, cand_sub.dtype)
+        cand_sub = jnp.concatenate([cand_sub, pad], axis=1)
+    count_tiles = -(-count // GROUP)
+    return cand_sub, count_tiles
+
+
+def _density_kernel(count_ref, q, c, out, *, h, poly6):
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    for s in range(TPS):
+
+        @pl.when(m * TPS + s < count_ref[i])
+        def _(s=s):
+            _density_core(
+                lambda k: q[0, k],
+                lambda k, s=s: c[s * 4 + k : s * 4 + k + 1, :],
+                out,
+                h=h, poly6=poly6,
+            )
+
+
+def fused_density_nl(
+    q_pos: jnp.ndarray,
+    c_pos_pack: jnp.ndarray,
+    cand_sub: jnp.ndarray,
+    count: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    real_flat: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Flat (n,) density over the sorted order. ``cand_sub``/``count``
+    from tiles.refine_candidates; packs from make_query_planes /
+    make_csub_packs."""
+    nb, _, b, _ = q_pos.shape
+    interpret = _interpret_default() if interpret is None else interpret
+    cand_sub, count_tiles = _pad_groups(cand_sub, count)
+    tiles_in = gather_tiles(c_pos_pack, cand_sub)  # (nb*mg*TPS*4, LANES)
+    mg = tiles_in.shape[0] // (nb * 4 * TPS)  # grid steps (TPS tiles each)
+
+    kernel = functools.partial(
+        _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, mg),
+        in_specs=[
+            pl.BlockSpec((1, 3, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
+            pl.BlockSpec((TPS * 4, LANES), lambda i, m, count_: (i * mg + m, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, b, 1), lambda i, m, count_: (i, 0, 0)),
+    )
+    wsum = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, b, 1), jnp.float32),
+        interpret=interpret,
+    )(count_tiles, q_pos, tiles_in)
+    density = params.particle_mass * wsum.reshape(-1)
+    return jnp.where(real_flat, density, params.fluid_density)
+
+
+def _forces_kernel(count_ref, q, c, out, *, h, spiky, visc, poly6_grad,
+                   poly6_lap, eps):
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    for s in range(TPS):
+
+        @pl.when(m * TPS + s < count_ref[i])
+        def _(s=s):
+            _forces_core(
+                lambda k: q[0, k],
+                lambda k, s=s: c[s * 9 + k : s * 9 + k + 1, :],
+                out,
+                h=h, spiky=spiky, visc=visc,
+                poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+            )
+
+
+def fused_forces_nl(
+    q_force: jnp.ndarray,
+    c_force_pack: jnp.ndarray,
+    cand_sub: jnp.ndarray,
+    count: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    real_flat: jnp.ndarray,
+    density: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Flat (n, 3) acceleration over the sorted order (combine step of
+    forces.cl:110-122 applied to the raw sums)."""
+    nb, _, b, _ = q_force.shape
+    interpret = _interpret_default() if interpret is None else interpret
+    cand_sub, count_tiles = _pad_groups(cand_sub, count)
+    tiles_in = gather_tiles(c_force_pack, cand_sub)  # (nb*mg*TPS*9, LANES)
+    mg = tiles_in.shape[0] // (nb * 9 * TPS)  # grid steps (TPS tiles each)
+
+    kernel = functools.partial(
+        _forces_kernel,
+        h=float(params.h),
+        spiky=float(terms.spiky),
+        visc=float(terms.viscosity),
+        poly6_grad=float(terms.poly_6_gradient),
+        poly6_lap=float(terms.poly_6_laplacian),
+        eps=smoothing.EPSILON,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, mg),
+        in_specs=[
+            pl.BlockSpec((1, 8, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
+            pl.BlockSpec((TPS * 9, LANES), lambda i, m, count_: (i * mg + m, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 10, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
+    )
+    sums = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, 10, b, 1), jnp.float32),
+        interpret=interpret,
+    )(count_tiles, q_force, tiles_in)
+
+    from .neighbor import (
+        _OLAP, _ONX, _ONY, _ONZ, _OPX, _OPY, _OPZ, _OVX, _OVY, _OVZ,
+    )
+
+    flat = lambda k: sums[:, k].reshape(-1)
+    press = jnp.stack([flat(_OPX), flat(_OPY), flat(_OPZ)], axis=1)
+    visct = jnp.stack([flat(_OVX), flat(_OVY), flat(_OVZ)], axis=1)
+    norm = jnp.stack([flat(_ONX), flat(_ONY), flat(_ONZ)], axis=1)
+    lap = flat(_OLAP)
+
+    rho = density
+    total = -rho[:, None] * press + visct * params.dynamic_viscosity
+    nlen = jnp.linalg.norm(norm, axis=-1, keepdims=True)
+    apply_st = nlen > params.surface_tension_threshold
+    st = -params.surface_tension * lap[:, None] * norm / jnp.where(apply_st, nlen, 1.0)
+    total = total + jnp.where(apply_st, st, 0.0)
+    accel = total / rho[:, None] + jnp.asarray(
+        params.constant_acceleration, dtype=jnp.float32
+    )
+    return jnp.where(real_flat[:, None], accel, 0.0)

@@ -39,7 +39,10 @@ import jax.numpy as jnp
 from ..core import smoothing
 from ..core.params import PrecomputedKernelValues, SimulationParameters
 
-SENTINEL_CODE = jnp.uint32((1 << 30) - 1)
+# Python int (not a jnp scalar): module-level jnp arrays get captured
+# as jaxpr constants, and jax 0.9's dispatch mishandles executables
+# with 3+ hoisted constants on repeat calls (buffer-count mismatch).
+SENTINEL_CODE = (1 << 30) - 1
 
 # Hierarchical candidate search constants (see candidate_blocks_auto):
 # above ~1024 blocks the dense nb x nc overlap matrix (and its
@@ -299,6 +302,77 @@ def candidate_blocks_hierarchical(
     count = jnp.minimum(row_count, max_candidates)
     overflow = jnp.any(row_count > max_candidates) | sb_overflow
     return cand, count, overflow
+
+
+def subblock_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray, sub: int):
+    """Per-subblock AABBs: each B-particle block split into ``sub``
+    consecutive runs of B/sub particles. pos (nb, B, 3) -> (nb*sub, 3).
+    Empty subblocks produce inverted boxes that overlap nothing."""
+    nb, b, _ = pos_blocked.shape
+    big = jnp.float32(3.0e38)
+    p = pos_blocked.reshape(nb * sub, b // sub, 3)
+    m = real_blocked.reshape(nb * sub, b // sub, 1)
+    return (
+        jnp.min(jnp.where(m, p, big), axis=1),
+        jnp.max(jnp.where(m, p, -big), axis=1),
+    )
+
+
+# sentinel id for dead slots in refined candidate tables; consumers map
+# it to a dedicated dead row (ops/pallas/neighbor_nl.py)
+REFINE_SENTINEL = 2**30  # Python int, not jnp (see SENTINEL_CODE note)
+
+
+def refine_candidates(
+    cand: jnp.ndarray,
+    count: jnp.ndarray,
+    qmin: jnp.ndarray,
+    qmax: jnp.ndarray,
+    sub_lo: jnp.ndarray,
+    sub_hi: jnp.ndarray,
+    h: float,
+    sub: int,
+    max_sub: int,
+):
+    """Refine block-granularity candidate lists to subblock granularity.
+
+    The round-1 kernels evaluate whole 128-particle candidate blocks
+    (~4.7k pair tests/particle at 1M vs ~30 real neighbours); testing
+    each candidate block's ``sub`` 32-particle subblocks against the
+    dilated query boxes drops most of that volume (the candidate-side
+    block extent shrinks by sub^(1/3)) for a tiny (nb, M*sub) test.
+
+    ``cand`` (nb, M) / ``count`` (nb,): block-granularity lists (from
+    candidate_blocks*); ``qmin``/``qmax`` (nb, S, 3): query split boxes;
+    ``sub_lo``/``sub_hi`` (nc*sub, 3): candidate subblock boxes (from
+    :func:`subblock_bounds`, possibly of a gathered global table).
+
+    Returns (cand_sub (nb, max_sub) int32 subblock ids with dead slots
+    = REFINE_SENTINEL, count_sub (nb,), overflowed () bool). Compaction
+    is the sort trick from candidate_blocks_hierarchical: ascending row
+    sort packs passing ids to the front.
+    """
+    nb, m = cand.shape
+    nsub_boxes = sub_lo.reshape(-1, sub, 3)
+    nsub_hi = sub_hi.reshape(-1, sub, 3)
+    g_lo = jnp.take(nsub_boxes, cand, axis=0)  # (nb, M, sub, 3)
+    g_hi = jnp.take(nsub_hi, cand, axis=0)
+    lo = (qmin - h)[:, :, None, None, :]  # (nb, S, 1, 1, 3)
+    hi = (qmax + h)[:, :, None, None, :]
+    ov = jnp.any(
+        jnp.all(
+            (lo <= g_hi[:, None]) & (hi >= g_lo[:, None]), axis=-1
+        ),
+        axis=1,
+    )  # (nb, M, sub)
+    live = (jnp.arange(m, dtype=jnp.int32) < count[:, None])[:, :, None]
+    ok = ov & live
+    ids = cand[:, :, None] * sub + jnp.arange(sub, dtype=jnp.int32)
+    keys = jnp.where(ok, ids, REFINE_SENTINEL).reshape(nb, m * sub)
+    cand_sub = jnp.sort(keys, axis=1)[:, :max_sub]
+    count_sub = jnp.sum(ok.reshape(nb, m * sub), axis=1)
+    overflow = jnp.any(count_sub > max_sub)
+    return cand_sub, jnp.minimum(count_sub, max_sub), overflow
 
 
 def candidate_blocks_auto(bmin, bmax, h, max_candidates):

@@ -65,6 +65,88 @@ def _compact_mask(mask: jnp.ndarray, cap: int):
     return idx, valid, total > cap
 
 
+def _nl_passes(
+    state_s: ParticleState,
+    blocked: tiles_ops.BlockedFields,
+    bmin: jnp.ndarray,
+    bmax: jnp.ndarray,
+    cand: jnp.ndarray,
+    count: jnp.ndarray,
+    pos_fields: tiles_ops.BlockedFields,
+    force_fields,
+    valid_s: jnp.ndarray,
+    gid_offset: jnp.ndarray,
+    params: SimulationParameters,
+    terms,
+    config: StepConfig,
+):
+    """Run the production nl Pallas kernels (ops/pallas/neighbor_nl.py)
+    against an exchanged candidate block table — the sharded analog of
+    engine.step._density_forces_pallas_nl. ``pos_fields`` /
+    ``force_fields(blocked)`` provide the candidate-side tables
+    (all-gathered or local+halo). Returns (density, pressure, accel,
+    overflow)."""
+    from ..ops.pallas import neighbor_nl as nl
+
+    cfg = config.tile_config()
+    sub = cfg.block_size // nl.SUB
+    sub_lo, sub_hi = tiles_ops.subblock_bounds(
+        pos_fields.position, pos_fields.real, sub
+    )
+    q_rows = min(config.nl_query_rows, cfg.block_size)
+    q_rep = cfg.block_size // q_rows
+    if q_rep > 1:
+        qlo, qhi = tiles_ops.subblock_bounds(blocked.position, blocked.real, q_rep)
+        qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+        cand_q = jnp.repeat(cand, q_rep, axis=0)
+        count_q = jnp.repeat(count, q_rep, axis=0)
+    else:
+        qlo, qhi, cand_q, count_q = bmin, bmax, cand, count
+    cand_sub, count_sub, ovf = tiles_ops.refine_candidates(
+        cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
+        config.max_candidates_sub,
+    )
+    mass = params.particle_mass
+
+    def packs(cf):
+        return nl.make_csub_packs(
+            cf.position.reshape(-1, 3),
+            cf.velocity.reshape(-1, 3),
+            cf.density.reshape(-1),
+            cf.pressure.reshape(-1),
+            cf.real.reshape(-1),
+            mass=mass,
+            gid=cf.gid.reshape(-1),
+        )
+
+    q_pos, _ = nl.make_query_planes(
+        state_s.position, state_s.velocity, state_s.density, state_s.pressure,
+        valid_s, q_rows, mass=mass, gid_offset=gid_offset,
+    )
+    c_pos_pack, _ = packs(pos_fields)
+    density = nl.fused_density_nl(
+        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s
+    )
+    pressure = interactions_ops.tait_pressure(density, params)
+    pressure = jnp.where(valid_s, pressure, 0.0)
+    density = jnp.where(valid_s, density, params.fluid_density)
+
+    blocked = blocked._replace(
+        density=density.reshape(blocked.density.shape),
+        pressure=pressure.reshape(blocked.pressure.shape),
+    )
+    _, q_force = nl.make_query_planes(
+        state_s.position, state_s.velocity, density, pressure,
+        valid_s, q_rows, mass=mass, gid_offset=gid_offset,
+    )
+    _, c_force_pack = packs(force_fields(blocked))
+    accel = nl.fused_forces_nl(
+        q_force, c_force_pack, cand_sub, count_sub, params, terms,
+        valid_s, density,
+    )
+    return density, pressure, accel, ovf
+
+
 def _local_substep(
     state: ParticleState,
     dt: jnp.ndarray,
@@ -210,22 +292,8 @@ def _local_substep(
                 ]
             )
 
-        cand_fields_pos = combined_fields(blocked)
-        density = tiles_ops.density_pass(
-            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields_pos
-        )
-        pressure = interactions_ops.tait_pressure(density, params)
-        pressure = jnp.where(valid_s, pressure, 0.0)
-        density = jnp.where(valid_s, density, params.fluid_density)
-        blocked = blocked._replace(
-            density=density.reshape(blocked.density.shape),
-            pressure=pressure.reshape(blocked.pressure.shape),
-        )
-        cand_fields = combined_fields(blocked)
-        accel = tiles_ops.force_pass(
-            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields
-        )
-        accel = jnp.where(valid_s[:, None], accel, 0.0)
+        pos_fields = combined_fields(blocked)
+        force_fields = combined_fields
     else:
         self_index = shard * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
         cand, count, overflow = tiles_ops.candidate_blocks(
@@ -233,7 +301,7 @@ def _local_substep(
             self_index=self_index,
         )
 
-        cand_fields_pos = tiles_ops.BlockedFields(
+        pos_fields = tiles_ops.BlockedFields(
             position=g_blocked_pos,
             velocity=g_blocked_pos,  # unused in density
             density=g_real.astype(jnp.float32),  # unused in density
@@ -241,30 +309,42 @@ def _local_substep(
             real=g_real,
             gid=g_gid,
         )
+
+        def force_fields(blk):
+            return tiles_ops.BlockedFields(
+                position=g_blocked_pos,
+                velocity=gather(blk.velocity),
+                density=gather(blk.density),
+                pressure=gather(blk.pressure),
+                real=g_real,
+                gid=g_gid,
+            )
+
+    # ---- density + forces over the exchanged candidate tables,
+    # by the configured backend (tiles, or the nl Pallas kernels)
+    if config.neighbor_impl == "pallas":
+        density, pressure, accel, nl_ovf = _nl_passes(
+            state_s, blocked, bmin, bmax, cand, count,
+            pos_fields, force_fields, valid_s,
+            shard * n_local, params, terms, config,
+        )
+        overflow = overflow | nl_ovf
+    else:
         density = tiles_ops.density_pass(
-            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields_pos
+            blocked, cand, count, params, terms, cfg, cand_fields=pos_fields
         )
         pressure = interactions_ops.tait_pressure(density, params)
         pressure = jnp.where(valid_s, pressure, 0.0)
         density = jnp.where(valid_s, density, params.fluid_density)
-
         blocked = blocked._replace(
             density=density.reshape(blocked.density.shape),
             pressure=pressure.reshape(blocked.pressure.shape),
         )
-
-        cand_fields = tiles_ops.BlockedFields(
-            position=g_blocked_pos,
-            velocity=gather(blocked.velocity),
-            density=gather(blocked.density),
-            pressure=gather(blocked.pressure),
-            real=g_real,
-            gid=g_gid,
-        )
         accel = tiles_ops.force_pass(
-            blocked, cand, count, params, terms, cfg, cand_fields=cand_fields
+            blocked, cand, count, params, terms, cfg,
+            cand_fields=force_fields(blocked),
         )
-        accel = jnp.where(valid_s[:, None], accel, 0.0)
+    accel = jnp.where(valid_s[:, None], accel, 0.0)
 
     state_s = state_s.replace(
         density=density, pressure=pressure, acceleration=accel

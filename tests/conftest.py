@@ -5,16 +5,21 @@ import os
 # Note: env vars alone are NOT enough here — this image's sitecustomize
 # registers a TPU-tunnel PJRT backend that outranks JAX_PLATFORMS, so
 # we must also force the platform through jax.config.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# LIBCLSPH_TPU_ALLOW_TPU=1 skips the forcing so the Mosaic smoke tests
+# (tests/test_tpu_smoke.py) can run on the real chip.
+_ALLOW_TPU = os.environ.get("LIBCLSPH_TPU_ALLOW_TPU") == "1"
+if not _ALLOW_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ALLOW_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

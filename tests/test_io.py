@@ -90,6 +90,58 @@ class TestBgeo:
         npoints = struct.unpack(">i", b[9:13])[0]
         assert npoints == 3
 
+    def test_roundtrip_independent_parser(self, rng):
+        """Full round-trip through the independent partio-semantics
+        reader (tests/bgeo_reader.py): every field, strict EOF."""
+        from bgeo_reader import read_bgeo
+
+        n = 257
+        pos = rng.standard_normal((n, 3)).astype(np.float32)
+        vel = rng.standard_normal((n, 3)).astype(np.float32)
+        col = rng.random((n, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        dump_bgeo(buf, pos, vel, col, 0.05, 0.0625)
+        out = read_bgeo(buf.getvalue())
+
+        assert out["counts"] == {"points": n, "prims": 0, "point_attribs": 5}
+        np.testing.assert_array_equal(out["position"], pos)
+        np.testing.assert_array_equal(out["w"], np.ones(n, np.float32))
+        a = out["attributes"]
+        # the reference adapter's schema (PartioFunctions.h:8-13)
+        assert list(a) == ["velocity", "color", "id", "mass", "pscale"]
+        np.testing.assert_array_equal(a["velocity"], vel)
+        np.testing.assert_array_equal(a["color"], col)
+        assert a["id"].dtype.kind == "i"
+        np.testing.assert_array_equal(
+            a["id"].ravel(), np.arange(n, dtype=np.int32)
+        )
+        np.testing.assert_allclose(a["mass"].ravel(), 0.05)
+        np.testing.assert_allclose(a["pscale"].ravel(), 0.0625)
+
+    def test_parser_rejects_corruption(self, rng):
+        """The validating parser must actually catch writer bugs:
+        truncation, bad magic, and trailing garbage all raise."""
+        import pytest
+
+        from bgeo_reader import BgeoError, read_bgeo
+
+        buf = io.BytesIO()
+        dump_bgeo(
+            buf,
+            np.zeros((4, 3), np.float32),
+            np.zeros((4, 3), np.float32),
+            np.zeros((4, 3), np.float32),
+            0.05,
+            0.06,
+        )
+        good = buf.getvalue()
+        with pytest.raises(BgeoError):
+            read_bgeo(good[:-3])  # truncated payload
+        with pytest.raises(BgeoError):
+            read_bgeo(b"XgeoV" + good[5:])  # bad magic
+        with pytest.raises(BgeoError):
+            read_bgeo(good + b"\x00")  # trailing garbage
+
 
 class TestZeroPad:
     def test_reference_quirk(self):

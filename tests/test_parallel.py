@@ -78,6 +78,55 @@ class TestShardedStep:
         np.testing.assert_allclose(a1, a8, atol=5e-4 * scale)
         assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
 
+    @pytest.mark.parametrize("exchange", ["all_gather", "halo"])
+    def test_pallas_nl_matches_single_chip(self, exchange):
+        """The production nl Pallas kernels under a mesh (interpret
+        mode on CPU) must reproduce the single-chip nl physics for both
+        exchange strategies."""
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl", block_size=64,
+            max_candidates=32, max_candidates_sub=96, adaptive_dt=False,
+        )
+        state0 = init_state(params)
+        dt = jnp.float32(params.max_dt)
+        s1, dt1, f1 = substep_jit(state0, dt, params, None, cfg)
+        assert not bool(f1)
+
+        mesh = make_mesh(jax.devices()[:8])
+        sp = pad_for_mesh(state0, params, mesh, cfg)
+        sp = shard_state(sp, mesh)
+        nb_local = sp.position.shape[0] // 8 // 64
+        kw = dict(exchange=exchange)
+        if exchange == "halo":
+            kw["halo_max"] = nb_local
+        step = make_sharded_substep(mesh, params, None, cfg, **kw)
+        s8, dt8, f8 = step(sp, dt)
+        assert not bool(f8)
+
+        pos8 = np.asarray(s8.position)
+        real = np.abs(pos8).max(axis=1) < 1e30
+        assert real.sum() == params.particles_count
+
+        def key(pos):
+            q = np.round(np.asarray(pos, np.float64), 6)
+            return np.lexsort(q.T)
+
+        o1 = key(np.asarray(s1.position))
+        o8 = key(pos8[real])
+        np.testing.assert_allclose(
+            np.asarray(s1.position)[o1], pos8[real][o8], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.density)[o1],
+            np.asarray(s8.density)[real][o8],
+            rtol=1e-5,
+        )
+        a1 = np.asarray(s1.acceleration)[o1]
+        a8 = np.asarray(s8.acceleration)[real][o8]
+        np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
+        assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
+
     def test_multiple_steps_stable(self):
         params = make_params(WATER, n=512)
         cfg = StepConfig(neighbor_impl="tiles", block_size=64, max_candidates=32)

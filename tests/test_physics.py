@@ -313,15 +313,19 @@ class TestDiagnostics:
         assert not s["any_nonfinite"]
 
 
-@pytest.mark.parametrize("variant", ["row", "asym"])
-def test_pallas_variants_match_tiles(rng, variant):
+@pytest.mark.parametrize(
+    "variant,q_rows",
+    [("row", 128), ("asym", 128), ("nl", 128), ("nl", 64), ("nl", 32)],
+)
+def test_pallas_variants_match_tiles(rng, variant, q_rows):
     params = make_params(WATER, n=1024)
     pos, vel = random_cloud(rng, params, 1024)
     state = make_state(pos, vel)
     cfg_t = StepConfig(neighbor_impl="tiles", adaptive_dt=False)
     st, _, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg_t)
     cfg_p = StepConfig(
-        neighbor_impl="pallas", pallas_variant=variant, adaptive_dt=False
+        neighbor_impl="pallas", pallas_variant=variant,
+        nl_query_rows=q_rows, adaptive_dt=False
     )
     sp, _, ovf = substep_jit(state, jnp.float32(1e-9), params, None, cfg_p)
     assert not bool(ovf)
