@@ -61,7 +61,7 @@ def main():
     ap.add_argument("--max-candidates", type=int, default=96)
     ap.add_argument("--tile-mode", default="direct", choices=["direct", "mxu"])
     ap.add_argument(
-        "--pallas-variant", default="nl", choices=["nl", "row", "fine", "asym"]
+        "--pallas-variant", default="nl", choices=["nl", "asm", "row", "fine", "asym"]
     )
     ap.add_argument("--nl-query-rows", type=int, default=128)
     ap.add_argument("--max-candidates-sub", type=int, default=192)

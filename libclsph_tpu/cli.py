@@ -45,6 +45,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-candidates", type=int, default=64)
     ap.add_argument("--tile-mode", choices=["direct", "mxu"], default="direct")
     ap.add_argument(
+        "--pallas-variant", choices=["nl", "asm", "row", "fine", "asym"],
+        default="asm", help="pallas kernel family (asm = in-kernel assembly)",
+    )
+    ap.add_argument("--nl-query-rows", type=int, default=128)
+    ap.add_argument("--max-candidates-sub", type=int, default=192)
+    ap.add_argument(
         "--confirm", action="store_true",
         help="ask for confirmation before simulating (reference behaviour)",
     )
@@ -57,8 +63,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="run data-parallel over the first N devices (0 = single device)",
     )
     ap.add_argument(
-        "--exchange", choices=["all_gather", "halo"], default="all_gather",
+        "--exchange", choices=["all_gather", "halo", "ring"],
+        default="all_gather",
         help="multi-chip neighbour exchange strategy (with --mesh)",
+    )
+    ap.add_argument(
+        "--halo-max", type=int, default=0,
+        help="surface-block budget for halo/ring exchange (0 = all blocks)",
+    )
+    ap.add_argument(
+        "--halo-hops", type=int, default=1,
+        help="ring exchange: ppermute hops per direction",
     )
     ap.add_argument("--root", default=".", help="directory holding fluid_properties/ etc.")
     return ap
@@ -78,6 +93,9 @@ def main(argv=None) -> int:
         block_size=args.block_size,
         max_candidates=args.max_candidates,
         tile_mode=args.tile_mode,
+        pallas_variant=args.pallas_variant,
+        nl_query_rows=args.nl_query_rows,
+        max_candidates_sub=args.max_candidates_sub,
     )
     mesh = None
     if args.mesh:
@@ -93,7 +111,10 @@ def main(argv=None) -> int:
             )
             return -1
         mesh = make_mesh(devices)
-    simulation = SPHSimulation(step_config=cfg, mesh=mesh, exchange=args.exchange)
+    simulation = SPHSimulation(
+        step_config=cfg, mesh=mesh, exchange=args.exchange,
+        halo_max=args.halo_max, halo_hops=args.halo_hops,
+    )
     saver = HoudiniFileSaver(args.out_prefix, use_partio=args.partio)
 
     try:
@@ -104,6 +125,15 @@ def main(argv=None) -> int:
     except Exception as ex:  # same failure path as particles.cpp:27-30
         print(ex, file=sys.stderr)
         return -1
+
+    if args.mesh and args.exchange in ("halo", "ring") and not args.halo_max:
+        # default surface budget: every local block may be surface
+        from .ops.tiles import padded_count
+
+        n = simulation.parameters.particles_count
+        chunk = args.mesh * args.block_size
+        padded = -(-n // chunk) * chunk
+        simulation.halo_max = padded // chunk
 
     def save_frame(arrays, params):
         saver.write_frame_to_file(arrays, params)

@@ -40,7 +40,14 @@ from ..io.async_saver import AsyncSaver
 from ..ops import collisions as collisions_ops
 from ..scene.scene import Scene
 from ..utils.logging import get_logger
-from .step import FLAG_CAPACITY, FLAG_GRID_DIM, StepConfig, frame_jit, substep_jit
+from .step import (
+    FLAG_CAPACITY,
+    FLAG_EXCHANGE,
+    FLAG_GRID_DIM,
+    StepConfig,
+    frame_jit,
+    substep_jit,
+)
 
 MAX_CAPACITY_RETRIES = 6
 
@@ -61,11 +68,13 @@ class SPHSimulation:
         mesh=None,
         exchange: str = "all_gather",
         halo_max: int = 0,
+        halo_hops: int = 1,
     ):
         """``mesh``: a 1-D ``jax.sharding.Mesh`` to run multi-chip —
         the state is Morton-partitioned across devices and every
         substep runs under shard_map (parallel/sharded_step.py).
-        ``exchange``/``halo_max`` pick the neighbour-exchange strategy.
+        ``exchange`` ('all_gather' | 'halo' | 'ring') / ``halo_max`` /
+        ``halo_hops`` pick the neighbour-exchange strategy.
         """
         self.parameters: Optional[SimulationParameters] = None
         self.precomputed_terms: Optional[PrecomputedKernelValues] = None
@@ -82,6 +91,7 @@ class SPHSimulation:
         self.mesh = mesh
         self.exchange = exchange
         self.halo_max = halo_max
+        self.halo_hops = halo_hops
         # filled by simulate()
         self.state: Optional[ParticleState] = None
         self.device_scene = None
@@ -188,6 +198,12 @@ class SPHSimulation:
                 "Morton limit (reference aborts here too, "
                 "sph_simulation.cpp:722-724); check dt / fluid stiffness"
             )
+        if f & FLAG_EXCHANGE:
+            raise RuntimeError(
+                "ring halo exchange out of reach: a shard whose particles "
+                "neighbour this one is more than halo_hops ring hops away; "
+                "increase halo_hops or use exchange='all_gather'"
+            )
         if f & FLAG_CAPACITY:
             self._grow_capacity()
             return True
@@ -226,6 +242,7 @@ class SPHSimulation:
             return make_sharded_substep(
                 self.mesh, p, self.device_scene, self.step_config,
                 exchange=self.exchange, halo_max=self.halo_max,
+                halo_hops=self.halo_hops,
             )
 
         step = build_step()

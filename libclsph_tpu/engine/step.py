@@ -41,6 +41,7 @@ from ..ops import tiles as tiles_ops
 # Bits of the substep's device status flag (int32):
 FLAG_CAPACITY = 1  # static neighbour capacity truncated real neighbours
 FLAG_GRID_DIM = 2  # a grid axis reached the 10-bit Morton limit (1024)
+FLAG_EXCHANGE = 4  # ring halo_hops too small: a needed shard is out of reach
 
 
 @jax.tree_util.register_static
@@ -148,7 +149,7 @@ def _density_forces_pallas(
 ):
     """Fused Pallas kernels (ops/pallas/) behind the same candidate
     machinery as the tiles path; variant picked by config.pallas_variant."""
-    if config.pallas_variant == "nl":
+    if config.pallas_variant in ("nl", "asm"):
         return _density_forces_pallas_nl(state, real, params, config)
     if config.pallas_variant == "asym":
         from ..ops.pallas import neighbor_asym as pallas_neighbor
@@ -250,15 +251,20 @@ def _density_forces_pallas_nl(
     overflow = ovf | ovf2
 
     mass = params.particle_mass
+    asm = config.pallas_variant == "asm"
+    make_cpacks = nl.make_cparent_packs if asm else nl.make_csub_packs
+    fused_density = nl.fused_density_asm if asm else nl.fused_density_nl
+    fused_forces = nl.fused_forces_asm if asm else nl.fused_forces_nl
+
     q_pos, _ = nl.make_query_planes(
         state.position, state.velocity, state.density, state.pressure,
         real, q_rows, mass=mass,
     )
-    c_pos_pack, _ = nl.make_csub_packs(
+    c_pos_pack, _ = make_cpacks(
         state.position, state.velocity, state.density, state.pressure,
         real, mass=mass,
     )
-    density = nl.fused_density_nl(
+    density = fused_density(
         q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real
     )
     pressure = interactions_ops.tait_pressure(density, params)
@@ -268,10 +274,10 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, density, pressure,
         real, q_rows, mass=mass,
     )
-    _, c_force_pack = nl.make_csub_packs(
+    _, c_force_pack = make_cpacks(
         state.position, state.velocity, density, pressure, real, mass=mass,
     )
-    accel = nl.fused_forces_nl(
+    accel = fused_forces(
         q_force, c_force_pack, cand_sub, count_sub, params, terms, real, density
     )
     return density, pressure, accel, overflow

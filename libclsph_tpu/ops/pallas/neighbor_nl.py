@@ -308,7 +308,12 @@ def fused_forces_nl(
         out_shape=jax.ShapeDtypeStruct((nb, 10, b, 1), jnp.float32),
         interpret=interpret,
     )(count_tiles, q_force, tiles_in)
+    return _combine_forces(sums, params, real_flat, density)
 
+
+def _combine_forces(sums, params, real_flat, density):
+    """Combine step of forces.cl:110-122 applied to the raw pass sums
+    ((nb, 10, b, 1): pressure/viscosity/colour-normal/laplacian)."""
     from .neighbor import (
         _OLAP, _ONX, _ONY, _ONZ, _OPX, _OPY, _OPZ, _OVX, _OVY, _OVZ,
     )
@@ -329,3 +334,206 @@ def fused_forces_nl(
         params.constant_acceleration, dtype=jnp.float32
     )
     return jnp.where(real_flat[:, None], accel, 0.0)
+
+
+# ----------------------------------------------------------------------
+# "asm" variant: in-kernel subblock assembly.
+#
+# The XLA pre-gather above costs ~125 ms/substep at 1M (jnp.take runs
+# at ~36 GB/s effective and the lane-packing transpose adds as much
+# again). This variant keeps the irregular access INSIDE the kernel,
+# where it is nearly free: candidate data stays at parent 128-block
+# granularity (nbc+1, F, 128) — a layout Mosaic CAN DMA data-dependently
+# (BlockSpec index maps driven by the scalar-prefetched subblock table,
+# exactly like neighbor.py) — and each compute tile is assembled from
+# four parent blocks with dynamic lane rolls (pltpu.roll) + masked
+# selects (~16 vreg ops per ~1000-cycle pair tile).
+# ----------------------------------------------------------------------
+
+
+def make_cparent_packs(position, velocity, density, pressure, real,
+                       block_size=128, mass=1.0, gid_offset=0, gid=None):
+    """Parent-block candidate packs (nbc+1, F, B) row-oriented (the
+    neighbor.py candidate layout), with ONE trailing dead block
+    (positions FAR, everything else 0) that clamped sentinel slots
+    resolve to:
+
+    c_pos   (nbc+1, 4, B) — px py pz realmask
+    c_force (nbc+1, 9, B) — px py pz vx vy vz pm mr gid
+    """
+    n = position.shape[0]
+    nbc = n // block_size
+    if gid is None and isinstance(gid_offset, int) and (
+        n + gid_offset >= MAX_PARTICLES_F32_ID
+    ):
+        raise ValueError("particle ids exceed exact-f32 range")
+    realf = real.astype(jnp.float32)
+    safe_rho = jnp.where(density > 0, density, 1.0)
+    pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
+    mr = jnp.where(real, mass / safe_rho, 0.0)
+    if gid is None:
+        gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
+    else:
+        gidf = gid.astype(jnp.float32)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+
+    def pack(fields):
+        f = len(fields)
+        a = jnp.stack(fields, axis=0)  # (F, n)
+        a = a.reshape(f, nbc, block_size).swapaxes(0, 1)  # (nbc, F, B)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, f, block_size), 1)
+        dead = jnp.where(lane < 3, FAR, 0.0)  # position rows first
+        return jnp.concatenate([a, dead], axis=0)
+
+    c_pos = pack([px, py, pz, realf])
+    c_force = pack([px, py, pz, vx, vy, vz, pm, mr, gidf])
+    return c_pos, c_force
+
+
+def _pad_group(cand_sub):
+    """Pad the refined table to whole GROUP-subblock tiles (asm grid
+    steps are single tiles)."""
+    from ...ops.tiles import REFINE_SENTINEL
+
+    nb, m = cand_sub.shape
+    mp = -(-m // GROUP) * GROUP
+    if mp != m:
+        pad = jnp.full((nb, mp - m), REFINE_SENTINEL, cand_sub.dtype)
+        cand_sub = jnp.concatenate([cand_sub, pad], axis=1)
+    return cand_sub
+
+
+def _c_parent_spec(f, b, s, nbc_dead):
+    """Candidate input spec for assembly slot ``s``: DMA the PARENT
+    block of the (m*GROUP+s)-th refined subblock; sentinel slots clamp
+    to the trailing dead block."""
+    return pl.BlockSpec(
+        (1, f, b),
+        lambda i, m, cand_, count_: (
+            jnp.minimum(cand_[i, m * GROUP + s] // GROUP, nbc_dead), 0, 0
+        ),
+    )
+
+
+def _assemble_tile(cand_ref, count_ref, i, m, cs, f, n_pos):
+    """Build the (F, LANES) candidate tile for grid step (i, m): lane
+    quarter s comes from parent ref cs[s], rotated so its subblock's
+    lanes land in [s*SUB, (s+1)*SUB); dead slots keep the FAR/0
+    background. (i/m are passed in: pl.program_id cannot be bound
+    inside a pl.when body.)"""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, LANES), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (f, LANES), 0)
+    tile = jnp.where(rowi < n_pos, FAR, 0.0)
+    for s in range(GROUP):
+        slot = m * GROUP + s
+        sid = cand_ref[i, slot]
+        quarter = jax.lax.rem(sid, GROUP)
+        shift = jax.lax.rem(jnp.int32(s) - quarter + GROUP, GROUP) * SUB
+        rolled = pltpu.roll(cs[s][0], shift, axis=1)
+        mask = (lane >= s * SUB) & (lane < (s + 1) * SUB) & (slot < count_ref[i])
+        tile = jnp.where(mask, rolled, tile)
+    return tile
+
+
+def _density_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h, poly6):
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    @pl.when(m * GROUP < count_ref[i])
+    def _():
+        tile = _assemble_tile(cand_ref, count_ref, i, m, (c0, c1, c2, c3), 4, 3)
+        _density_core(
+            lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
+            h=h, poly6=poly6,
+        )
+
+
+def _forces_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h,
+                       spiky, visc, poly6_grad, poly6_lap, eps):
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    @pl.when(m * GROUP < count_ref[i])
+    def _():
+        tile = _assemble_tile(cand_ref, count_ref, i, m, (c0, c1, c2, c3), 9, 3)
+        _forces_core(
+            lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
+            h=h, spiky=spiky, visc=visc,
+            poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+        )
+
+
+def _asm_call(kernel, q, cpack, cand_sub, count, out_f, interpret):
+    """Shared driver: chunked (SMEM-bounded) two-axis grid over
+    (query block, candidate tile) with 4 parent-block inputs."""
+    from .neighbor import _chunked_call, _query_chunk
+
+    nbq = q.shape[0]
+    f_q, b = q.shape[1], q.shape[2]
+    nbc_dead = cpack.shape[0] - 1
+    f_c, bc = cpack.shape[1], cpack.shape[2]
+    cand_sub = _pad_group(cand_sub)
+    mp = cand_sub.shape[1]
+    mg = mp // GROUP
+    chunk = max(1, min(nbq, _query_chunk(nbq, mp)))
+
+    def run_chunk(args):
+        cand_c, count_c, qc = args
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(chunk, mg),
+            in_specs=[
+                pl.BlockSpec((1, f_q, b, 1), lambda i, m, c_, n_: (i, 0, 0, 0)),
+            ]
+            + [_c_parent_spec(f_c, bc, s, nbc_dead) for s in range(GROUP)],
+            out_specs=pl.BlockSpec(
+                (1,) + out_f + (b, 1), lambda i, m, c_, n_: (i,) + (0,) * (len(out_f) + 2)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((chunk,) + out_f + (b, 1), jnp.float32),
+            interpret=interpret,
+        )(cand_c, count_c, qc, cpack, cpack, cpack, cpack)
+
+    return _chunked_call(run_chunk, chunk, nbq, 1, cand_sub, count, q)
+
+
+def fused_density_asm(q_pos, c_pos_parent, cand_sub, count, params, terms,
+                      real_flat, *, interpret=None):
+    """Flat (n,) density via in-kernel assembly (see module section)."""
+    interpret = _interpret_default() if interpret is None else interpret
+    kernel = functools.partial(
+        _density_kernel_asm, h=float(params.h), poly6=float(terms.poly_6)
+    )
+    wsum = _asm_call(kernel, q_pos, c_pos_parent, cand_sub, count, (), interpret)
+    density = params.particle_mass * wsum.reshape(-1)
+    return jnp.where(real_flat, density, params.fluid_density)
+
+
+def fused_forces_asm(q_force, c_force_parent, cand_sub, count, params, terms,
+                     real_flat, density, *, interpret=None):
+    """Flat (n, 3) acceleration via in-kernel assembly."""
+    interpret = _interpret_default() if interpret is None else interpret
+    kernel = functools.partial(
+        _forces_kernel_asm,
+        h=float(params.h),
+        spiky=float(terms.spiky),
+        visc=float(terms.viscosity),
+        poly6_grad=float(terms.poly_6_gradient),
+        poly6_lap=float(terms.poly_6_laplacian),
+        eps=smoothing.EPSILON,
+    )
+    sums = _asm_call(kernel, q_force, c_force_parent, cand_sub, count, (10,),
+                     interpret)
+    return _combine_forces(sums, params, real_flat, density)

@@ -39,7 +39,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import morton
 from ..core.params import SimulationParameters
 from ..core.state import ParticleState
-from ..engine.step import FLAG_CAPACITY, FLAG_GRID_DIM, StepConfig, _advect_collide
+from ..engine.step import (
+    FLAG_CAPACITY,
+    FLAG_EXCHANGE,
+    FLAG_GRID_DIM,
+    StepConfig,
+    _advect_collide,
+)
 from ..ops import collisions as collisions_ops
 from ..ops import grid as grid_ops
 from ..ops import integrate as integrate_ops
@@ -156,6 +162,7 @@ def _local_substep(
     n_shards: int,
     exchange: str = "all_gather",
     halo_max: int = 0,
+    halo_hops: int = 1,
 ):
     """Body run per shard under shard_map. state arrays are the local
     shard (n_local = padded_n / n_shards rows).
@@ -164,10 +171,14 @@ def _local_substep(
     * ``all_gather`` — every shard gathers every block (simple,
       bandwidth ~N per step);
     * ``halo`` — each shard publishes only its *surface* blocks (those
-      whose dilated AABB reaches another shard's spatial region);
-      traffic ~ boundary area instead of volume. ``halo_max`` bounds
-      the per-shard surface set (overflow reported like the candidate
-      cap).
+      whose dilated AABB reaches another shard's spatial region) via
+      all_gather; traffic ~ boundary area instead of volume.
+      ``halo_max`` bounds the per-shard surface set (overflow reported
+      like the candidate cap);
+    * ``ring`` — point-to-point ppermute exchange of surface blocks
+      over the Morton ring, ``halo_hops`` hops in each direction;
+      traffic independent of n_shards. Raises FLAG_EXCHANGE when a
+      spatially-neighbouring shard is out of hop range.
     """
     cfg = config.tile_config()
     terms = params.precomputed()
@@ -220,9 +231,9 @@ def _local_substep(
     bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
 
     # all-gather block tables over ICI (full tables only in
-    # all_gather mode; halo mode gathers surface blocks below)
+    # all_gather mode; halo/ring modes exchange surface blocks below)
     gather = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
-    if exchange != "halo":
+    if exchange not in ("halo", "ring"):
         g_bmin = gather(bmin)
         g_bmax = gather(bmax)
         g_blocked_pos = gather(blocked.position)
@@ -230,8 +241,114 @@ def _local_substep(
         g_gid = gather(blocked.gid)
 
     nb_local = bmin.shape[0]
+    exchange_bad = jnp.asarray(False)
 
-    if exchange == "halo":
+    if exchange == "ring":
+        # -------- ppermute ring halo exchange (SURVEY §2.3 plan) ------
+        # Point-to-point neighbour exchange: each shard sends ONE
+        # fixed-size surface-block packet per hop per direction over
+        # the Morton ring, so per-step traffic is O(halo_hops *
+        # halo_max) — independent of n_shards (the all_gather modes
+        # broadcast O(n_shards * size)). Shards outside hop range that
+        # would have contributed raise FLAG_EXCHANGE (increase
+        # halo_hops), checked conservatively against shard AABBs.
+        s_n = n_shards
+        sh_min = gather(local_min[None, :])  # (S, 3) — tiny
+        sh_max = gather(local_max[None, :])
+        hdil = jnp.float32(params.h)
+        jidx = jnp.arange(s_n, dtype=jnp.int32)
+        # forward/backward hop budgets with disjoint reach (full ring
+        # coverage when 2*halo_hops >= S-1)
+        r_fwd = min(halo_hops, s_n // 2)
+        r_bwd = min(halo_hops, s_n - 1 - r_fwd)
+        fwd_d = jnp.mod(jidx - shard, s_n)
+        bwd_d = jnp.mod(shard - jidx, s_n)
+        near = ((fwd_d >= 1) & (fwd_d <= r_fwd)) | (
+            (bwd_d >= 1) & (bwd_d <= r_bwd)
+        )
+        sh_overlap = jnp.all(
+            (local_min[None, :] - hdil <= sh_max)
+            & (local_max[None, :] + hdil >= sh_min),
+            axis=-1,
+        )
+        exchange_bad = jnp.any(sh_overlap & ~near & (jidx != shard))
+
+        # surface blocks: dilated split boxes reaching any near shard
+        inf = jnp.float32(3.0e38)
+        near_lo = jnp.where(near[:, None], sh_min, inf)
+        near_hi = jnp.where(near[:, None], sh_max, -inf)
+        reach = jnp.any(
+            jnp.all(
+                (bmin[:, :, None, :] - hdil <= near_hi[None, None, :, :])
+                & (bmax[:, :, None, :] + hdil >= near_lo[None, None, :, :]),
+                axis=-1,
+            ),
+            axis=(1, 2),
+        )
+        surf_idx, surf_valid, surf_ovf = _compact_mask(reach, halo_max)
+
+        def take_blocks(a):
+            return jnp.take(a, surf_idx, axis=0)
+
+        fwd_perm = [(i, (i + 1) % s_n) for i in range(s_n)]
+        bwd_perm = [(i, (i - 1) % s_n) for i in range(s_n)]
+
+        def ring_exchange(payload):
+            """2R point-to-point sends; hop k forward delivers shard
+            (me-k)'s packet, backward (me+k)'s — a fixed, deterministic
+            order both the box table and the field tables share."""
+            received = []
+            buf = payload
+            for _ in range(r_fwd):
+                buf = jax.lax.ppermute(buf, AXIS, fwd_perm)
+                received.append(buf)
+            buf = payload
+            for _ in range(r_bwd):
+                buf = jax.lax.ppermute(buf, AXIS, bwd_perm)
+                received.append(buf)
+            return received
+
+        boxes = ring_exchange(
+            dict(
+                bmin=jnp.where(surf_valid[:, None, None], take_blocks(bmin), inf),
+                bmax=jnp.where(surf_valid[:, None, None], take_blocks(bmax), -inf),
+            )
+        )
+        comb_bmin = jnp.concatenate([bmin] + [b["bmin"] for b in boxes], axis=0)
+        comb_bmax = jnp.concatenate([bmax] + [b["bmax"] for b in boxes], axis=0)
+        self_index = jnp.arange(nb_local, dtype=jnp.int32)
+        cand, count, cand_ovf = tiles_ops.candidate_blocks(
+            bmin, bmax, params.h, cfg.max_candidates, comb_bmin, comb_bmax,
+            self_index=self_index,
+        )
+        overflow = cand_ovf | surf_ovf
+
+        def combined_fields(blk):
+            recv = ring_exchange(
+                dict(
+                    position=take_blocks(blk.position),
+                    velocity=take_blocks(blk.velocity),
+                    density=take_blocks(blk.density),
+                    pressure=take_blocks(blk.pressure),
+                    real=take_blocks(blk.real) & surf_valid[:, None],
+                    gid=take_blocks(blk.gid),
+                )
+            )
+            cat = lambda k: jnp.concatenate(
+                [getattr(blk, k)] + [r[k] for r in recv], axis=0
+            )
+            return tiles_ops.BlockedFields(
+                position=cat("position"),
+                velocity=cat("velocity"),
+                density=cat("density"),
+                pressure=cat("pressure"),
+                real=cat("real"),
+                gid=cat("gid"),
+            )
+
+        pos_fields = combined_fields(blocked)
+        force_fields = combined_fields
+    elif exchange == "halo":
         # -------- surface-block halo exchange --------
         # shard spatial boxes (from real-particle bounds computed above)
         sh_min = gather(local_min[None, :])  # (n_shards, 3)
@@ -400,6 +517,7 @@ def _local_substep(
     flags = (
         overflow.astype(jnp.int32) * FLAG_CAPACITY
         + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
+        + exchange_bad.astype(jnp.int32) * FLAG_EXCHANGE
     )
     flags = jax.lax.pmax(flags, AXIS)
     return final_state, dt_out, flags
@@ -412,6 +530,7 @@ def make_sharded_substep(
     config: StepConfig,
     exchange: str = "all_gather",
     halo_max: int = 0,
+    halo_hops: int = 1,
 ):
     """Build the jitted sharded substep for a mesh.
 
@@ -440,6 +559,7 @@ def make_sharded_substep(
             n_shards=n_shards,
             exchange=exchange,
             halo_max=halo_max,
+            halo_hops=halo_hops,
         ),
         mesh=mesh,
         in_specs=(state_specs, P()),
@@ -522,8 +642,8 @@ def dryrun(n_devices: int) -> None:
     state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
 
     step = make_sharded_substep(mesh, params, None, config)
-    out_state, dt, overflow = step(state, jnp.float32(params.max_dt))
-    assert not bool(overflow)
+    out_state, dt, flags = step(state, jnp.float32(params.max_dt))
+    assert not int(flags)
     jax.block_until_ready(out_state.position)
 
     pos = np.asarray(out_state.position)
@@ -536,3 +656,23 @@ def dryrun(n_devices: int) -> None:
     rho = np.asarray(out_state.density)[real]
     assert rho.min() > 0, rho.min()
     assert float(dt) > 0
+
+    # also exercise the production Pallas kernels + the point-to-point
+    # ppermute ring exchange under the mesh (full ring coverage)
+    nb_local = state.position.shape[0] // n_devices // config.block_size
+    config_p = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        block_size=config.block_size, max_candidates=config.max_candidates,
+        max_candidates_sub=96,
+    )
+    step_ring = make_sharded_substep(
+        mesh, params, None, config_p, exchange="ring",
+        halo_max=nb_local, halo_hops=(n_devices + 1) // 2,
+    )
+    out2, dt2, flags2 = step_ring(state, jnp.float32(params.max_dt))
+    assert not int(flags2), int(flags2)
+    pos2 = np.asarray(out2.position)
+    real2 = np.abs(pos2).max(axis=1) < 1.0e30
+    assert real2.sum() == params.particles_count
+    assert np.isfinite(pos2[real2]).all()
+    assert float(dt2) > 0

@@ -195,6 +195,101 @@ class TestHaloExchange:
         np.testing.assert_allclose(a1, a2, atol=2e-5 * scale)
         assert float(dt_ag) == pytest.approx(float(dt_h), rel=1e-6)
 
+    def test_ring_matches_all_gather(self):
+        """ppermute ring exchange with full ring coverage (2*hops >=
+        n_shards-1) must produce identical physics to all_gather."""
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        state0 = pad_for_mesh(init_state(params), params, mesh, cfg)
+        state0 = shard_state(state0, mesh)
+        dt = jnp.float32(params.max_dt)
+
+        step_ag = make_sharded_substep(mesh, params, None, cfg)
+        s_ag, dt_ag, f_ag = step_ag(state0, dt)
+        assert not int(f_ag)
+
+        nb_local = state0.position.shape[0] // 8 // 64
+        step_ring = make_sharded_substep(
+            mesh, params, None, cfg, exchange="ring",
+            halo_max=nb_local, halo_hops=4,
+        )
+        s_r, dt_r, f_r = step_ring(state0, dt)
+        assert not int(f_r)
+
+        np.testing.assert_allclose(
+            np.asarray(s_ag.density), np.asarray(s_r.density), rtol=1e-6
+        )
+        a1 = np.asarray(s_ag.acceleration)
+        a2 = np.asarray(s_r.acceleration)
+        np.testing.assert_allclose(a1, a2, atol=2e-5 * np.abs(a1).max())
+        assert float(dt_ag) == pytest.approx(float(dt_r), rel=1e-6)
+
+    def test_ring_pallas_nl_matches(self):
+        """Ring exchange + the production nl Pallas kernels."""
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl", block_size=64,
+            max_candidates=32, max_candidates_sub=96, adaptive_dt=False,
+        )
+        state0 = init_state(params)
+        dt = jnp.float32(params.max_dt)
+        s1, dt1, f1 = substep_jit(state0, dt, params, None, cfg)
+        assert not int(f1)
+
+        mesh = make_mesh(jax.devices()[:8])
+        sp = pad_for_mesh(state0, params, mesh, cfg)
+        sp = shard_state(sp, mesh)
+        nb_local = sp.position.shape[0] // 8 // 64
+        step = make_sharded_substep(
+            mesh, params, None, cfg, exchange="ring",
+            halo_max=nb_local, halo_hops=4,
+        )
+        s8, dt8, f8 = step(sp, dt)
+        assert not int(f8)
+
+        pos8 = np.asarray(s8.position)
+        real = np.abs(pos8).max(axis=1) < 1e30
+        assert real.sum() == params.particles_count
+
+        def key(pos):
+            q = np.round(np.asarray(pos, np.float64), 6)
+            return np.lexsort(q.T)
+
+        o1 = key(np.asarray(s1.position))
+        o8 = key(pos8[real])
+        np.testing.assert_allclose(
+            np.asarray(s1.density)[o1],
+            np.asarray(s8.density)[real][o8],
+            rtol=1e-5,
+        )
+        assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
+
+    def test_ring_insufficient_hops_flagged(self):
+        """A compact blob split over 8 shards overlaps beyond 1 hop:
+        FLAG_EXCHANGE must be raised instead of silently dropping
+        neighbours."""
+        from libclsph_tpu.engine.step import FLAG_EXCHANGE
+
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        state0 = pad_for_mesh(init_state(params), params, mesh, cfg)
+        state0 = shard_state(state0, mesh)
+        nb_local = state0.position.shape[0] // 8 // 64
+        step = make_sharded_substep(
+            mesh, params, None, cfg, exchange="ring",
+            halo_max=nb_local, halo_hops=1,
+        )
+        _, _, flags = step(state0, jnp.float32(params.max_dt))
+        assert int(flags) & FLAG_EXCHANGE
+
     def test_halo_overflow_reported(self):
         params = make_params(WATER, n=1024)
         cfg = StepConfig(
