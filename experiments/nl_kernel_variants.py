@@ -429,16 +429,16 @@ def _forces_core_mxu2(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
         sum_g = rg[6:7]
         sum_sing = rs[6:7]
         sum_l = rls[6:7] - sum_sing
-        out[0, _OPX] += qx * sum_a - ra[0:1] + sum_sing
-        out[0, _OPY] += qy * sum_a - ra[1:2] + sum_sing
-        out[0, _OPZ] += qz * sum_a - ra[2:3] + sum_sing
-        out[0, _OVX] += rb[3:4] - qvx * sum_b
-        out[0, _OVY] += rb[4:5] - qvy * sum_b
-        out[0, _OVZ] += rb[5:6] - qvz * sum_b
-        out[0, _ONX] += qx * sum_g - rg[0:1]
-        out[0, _ONY] += qy * sum_g - rg[1:2]
-        out[0, _ONZ] += qz * sum_g - rg[2:3]
-        out[0, _OLAP] += sum_l
+        out[0, _OPX:_OPX+1, :] += qx * sum_a - ra[0:1] + sum_sing
+        out[0, _OPY:_OPY+1, :] += qy * sum_a - ra[1:2] + sum_sing
+        out[0, _OPZ:_OPZ+1, :] += qz * sum_a - ra[2:3] + sum_sing
+        out[0, _OVX:_OVX+1, :] += rb[3:4] - qvx * sum_b
+        out[0, _OVY:_OVY+1, :] += rb[4:5] - qvy * sum_b
+        out[0, _OVZ:_OVZ+1, :] += rb[5:6] - qvz * sum_b
+        out[0, _ONX:_ONX+1, :] += qx * sum_g - rg[0:1]
+        out[0, _ONY:_ONY+1, :] += qy * sum_g - rg[1:2]
+        out[0, _ONZ:_ONZ+1, :] += qz * sum_g - rg[2:3]
+        out[0, _OLAP:_OLAP+1, :] += sum_l
 
 
 def forces_flat2d_mxu2(tps):

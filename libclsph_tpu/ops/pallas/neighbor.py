@@ -363,6 +363,107 @@ def _forces_core(col, row, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
         acc(_OLAP, l_mat)
 
 
+def _density_core_rowout(col, row, out, *, h, poly6):
+    """Row-output density tile: the lane reduction is ONE MXU
+    dot_general against a ones row and the accumulator is lane-major
+    (a (B, 1) column op costs 16 nearly-empty vregs on TPU; a (1, B)
+    row op costs one). ``out``: (1, 8, B) ref, row 0 accumulates."""
+    h2 = h * h
+    dx = col(0) - row(0)
+    dy = col(1) - row(1)
+    dz = col(2) - row(2)
+    r2 = dx * dx + dy * dy + dz * dz
+    incl = r2 < h2
+
+    @pl.when(jnp.any(incl))
+    def _():
+        t = jnp.where(incl, h2 - r2, 0.0)
+        w = (poly6 * row(3)) * (t * t * t)  # (B, B)
+        ones = jnp.ones_like(row(0))
+        res = jax.lax.dot_general(
+            ones, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (1, B)
+        out[0, 0:1, :] += res
+
+
+def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
+                        poly6_lap, eps):
+    """Row-output force tile: all ten cross-lane reductions become ONE
+    MXU ``dot_general(rhs, lhs)`` whose result is lane-major, so every
+    post-dot combine is a cheap (1, B) row op (the direct version's
+    reductions + (B, 1) column accumulations cost ~40% of the kernel).
+
+    ``qrow``: (1, F, B) row-layout copy of the query fields (the
+    column pack can't provide (1, B) rows without a transpose);
+    ``out``: (1, 10, B) row-major accumulator. Physics identical to
+    :func:`_forces_core` up to f32 summation order (dot in HIGHEST
+    precision)."""
+    h2 = h * h
+    dx = col(_QX) - row(_CX)
+    dy = col(_QY) - row(_CY)
+    dz = col(_QZ) - row(_CZ)
+    r2 = dx * dx + dy * dy + dz * dz
+    incl_b = r2 < h2
+
+    @pl.when(jnp.any(incl_b))
+    def _():
+        incl = incl_b.astype(jnp.float32)
+        not_self = incl * (col(_QGID) != row(_CGID)).astype(jnp.float32)
+        near0 = r2 < eps * eps
+        inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
+        r = r2 * inv_r
+        hr = h - r
+        near0f = near0.astype(jnp.float32)
+
+        # pressure (Kelager 4.11) + coincident singular branch
+        p_coeff = (row(_CPM) + col(_QPM)) * not_self
+        spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
+        a_reg = p_coeff * spiky_s
+        sing = p_coeff * (spiky * near0f)
+        # viscosity
+        b_mat = (not_self * visc) * row(_CMR) * hr
+        # colour field (t zeroed under the cutoff BEFORE squaring: far
+        # rows would overflow f32)
+        t = jnp.where(incl_b, h2 - r2, 0.0)
+        u = (incl * row(_CMR)) * t
+        g_mat = (poly6_grad * u) * t
+        l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
+
+        b = a_reg.shape[0]
+        lhs = jnp.concatenate([a_reg, b_mat, g_mat, l_mat, sing], axis=0)
+        ones = jnp.ones_like(row(_CX))
+        rhs = jnp.concatenate(
+            [row(_CX), row(_CY), row(_CZ),
+             row(_CVX), row(_CVY), row(_CVZ), ones], axis=0)  # (7, B)
+        res = jax.lax.dot_general(
+            rhs, lhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (7, 5B) lane-major: [sum(M cx), .., sum(M cv), sum(M)]
+        ra = res[:, 0:b]
+        rb = res[:, b : 2 * b]
+        rg = res[:, 2 * b : 3 * b]
+        rl = res[:, 3 * b : 4 * b]
+        rs = res[:, 4 * b : 5 * b]
+        qx, qy, qz = qrow[0, 0:1], qrow[0, 1:2], qrow[0, 2:3]  # (1, B)
+        qvx, qvy, qvz = qrow[0, 3:4], qrow[0, 4:5], qrow[0, 5:6]
+        sum_a, sum_b, sum_g = ra[6:7], rb[6:7], rg[6:7]
+        sum_l, sum_sing = rl[6:7], rs[6:7]
+        # sum_j a_ij (x_i - x_j) = x_i sum(a) - sum(a x_j); the
+        # singular branch lands on every component (smoothing.cl:23-25)
+        out[0, _OPX : _OPX + 1, :] += qx * sum_a - ra[0:1] + sum_sing
+        out[0, _OPY : _OPY + 1, :] += qy * sum_a - ra[1:2] + sum_sing
+        out[0, _OPZ : _OPZ + 1, :] += qz * sum_a - ra[2:3] + sum_sing
+        out[0, _OVX : _OVX + 1, :] += rb[3:4] - qvx * sum_b
+        out[0, _OVY : _OVY + 1, :] += rb[4:5] - qvy * sum_b
+        out[0, _OVZ : _OVZ + 1, :] += rb[5:6] - qvz * sum_b
+        out[0, _ONX : _ONX + 1, :] += qx * sum_g - rg[0:1]
+        out[0, _ONY : _ONY + 1, :] += qy * sum_g - rg[1:2]
+        out[0, _ONZ : _ONZ + 1, :] += qz * sum_g - rg[2:3]
+        out[0, _OLAP : _OLAP + 1, :] += sum_l
+
+
 def _forces_kernel(
     cand_ref,
     count_ref,

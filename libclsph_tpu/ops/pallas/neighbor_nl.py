@@ -46,8 +46,8 @@ from ...core import smoothing
 from ...core.params import PrecomputedKernelValues, SimulationParameters
 from .neighbor import (
     MAX_PARTICLES_F32_ID,
-    _density_core,
-    _forces_core,
+    _density_core_rowout,
+    _forces_core_rowout,
     _interpret_default,
 )
 
@@ -192,7 +192,7 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6):
 
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
-            _density_core(
+            _density_core_rowout(
                 lambda k: q[0, k],
                 lambda k, s=s: c[s * 4 + k : s * 4 + k + 1, :],
                 out,
@@ -230,20 +230,20 @@ def fused_density_nl(
             pl.BlockSpec((1, 3, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
             pl.BlockSpec((TPS * 4, LANES), lambda i, m, count_: (i * mg + m, 0)),
         ],
-        out_specs=pl.BlockSpec((1, b, 1), lambda i, m, count_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 8, b), lambda i, m, count_: (i, 0, 0)),
     )
     wsum = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, b, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
         interpret=interpret,
     )(count_tiles, q_pos, tiles_in)
-    density = params.particle_mass * wsum.reshape(-1)
+    density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
 
-def _forces_kernel(count_ref, q, c, out, *, h, spiky, visc, poly6_grad,
-                   poly6_lap, eps):
+def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
+                   poly6_grad, poly6_lap, eps):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -255,10 +255,10 @@ def _forces_kernel(count_ref, q, c, out, *, h, spiky, visc, poly6_grad,
 
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
-            _forces_core(
+            _forces_core_rowout(
                 lambda k: q[0, k],
                 lambda k, s=s: c[s * 9 + k : s * 9 + k + 1, :],
-                out,
+                qrow, out,
                 h=h, spiky=spiky, visc=visc,
                 poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
             )
@@ -293,27 +293,29 @@ def fused_forces_nl(
         poly6_lap=float(terms.poly_6_laplacian),
         eps=smoothing.EPSILON,
     )
+    q_row = q_force[..., 0]  # (nb, 8, b) lane-major copy for combines
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb, mg),
         in_specs=[
             pl.BlockSpec((1, 8, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 8, b), lambda i, m, count_: (i, 0, 0)),
             pl.BlockSpec((TPS * 9, LANES), lambda i, m, count_: (i * mg + m, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 10, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 10, b), lambda i, m, count_: (i, 0, 0)),
     )
     sums = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 10, b, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb, 10, b), jnp.float32),
         interpret=interpret,
-    )(count_tiles, q_force, tiles_in)
+    )(count_tiles, q_force, q_row, tiles_in)
     return _combine_forces(sums, params, real_flat, density)
 
 
 def _combine_forces(sums, params, real_flat, density):
     """Combine step of forces.cl:110-122 applied to the raw pass sums
-    ((nb, 10, b, 1): pressure/viscosity/colour-normal/laplacian)."""
+    ((nb, 10, b): pressure/viscosity/colour-normal/laplacian)."""
     from .neighbor import (
         _OLAP, _ONX, _ONY, _ONZ, _OPX, _OPY, _OPZ, _OVX, _OVY, _OVZ,
     )
@@ -447,14 +449,14 @@ def _density_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h, poly6
     @pl.when(m * GROUP < count_ref[i])
     def _():
         tile = _assemble_tile(cand_ref, count_ref, i, m, (c0, c1, c2, c3), 4, 3)
-        _density_core(
+        _density_core_rowout(
             lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
             h=h, poly6=poly6,
         )
 
 
-def _forces_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h,
-                       spiky, visc, poly6_grad, poly6_lap, eps):
+def _forces_kernel_asm(cand_ref, count_ref, q, qrow, c0, c1, c2, c3, out, *,
+                       h, spiky, visc, poly6_grad, poly6_lap, eps):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -465,17 +467,21 @@ def _forces_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h,
     @pl.when(m * GROUP < count_ref[i])
     def _():
         tile = _assemble_tile(cand_ref, count_ref, i, m, (c0, c1, c2, c3), 9, 3)
-        _forces_core(
-            lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
+        _forces_core_rowout(
+            lambda k: q[0, k], lambda k: tile[k : k + 1, :], qrow, out,
             h=h, spiky=spiky, visc=visc,
             poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
         )
 
 
-def _asm_call(kernel, q, cpack, cand_sub, count, out_f, interpret):
+def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
+              with_qrow=False):
     """Shared driver: chunked (SMEM-bounded) two-axis grid over
-    (query block, candidate tile) with 4 parent-block inputs."""
-    from .neighbor import _chunked_call, _query_chunk
+    (query block, candidate tile) with 4 parent-block inputs.
+    ``out_rows``: sublane rows of the lane-major (1, out_rows, b)
+    accumulator; ``with_qrow`` adds the row-layout query copy the
+    force core's combines need."""
+    from .neighbor import _query_chunk
 
     nbq = q.shape[0]
     f_q, b = q.shape[1], q.shape[2]
@@ -485,28 +491,49 @@ def _asm_call(kernel, q, cpack, cand_sub, count, out_f, interpret):
     mp = cand_sub.shape[1]
     mg = mp // GROUP
     chunk = max(1, min(nbq, _query_chunk(nbq, mp)))
+    q_row = q[..., 0]  # (nbq, f_q, b)
 
     def run_chunk(args):
-        cand_c, count_c, qc = args
+        cand_c, count_c, qc, qrow_c = args
+        in_specs = [
+            pl.BlockSpec((1, f_q, b, 1), lambda i, m, c_, n_: (i, 0, 0, 0)),
+        ]
+        extra = ()
+        if with_qrow:
+            in_specs.append(
+                pl.BlockSpec((1, f_q, b), lambda i, m, c_, n_: (i, 0, 0))
+            )
+            extra = (qrow_c,)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(chunk, mg),
-            in_specs=[
-                pl.BlockSpec((1, f_q, b, 1), lambda i, m, c_, n_: (i, 0, 0, 0)),
-            ]
+            in_specs=in_specs
             + [_c_parent_spec(f_c, bc, s, nbc_dead) for s in range(GROUP)],
             out_specs=pl.BlockSpec(
-                (1,) + out_f + (b, 1), lambda i, m, c_, n_: (i,) + (0,) * (len(out_f) + 2)
+                (1, out_rows, b), lambda i, m, c_, n_: (i, 0, 0)
             ),
         )
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((chunk,) + out_f + (b, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((chunk, out_rows, b), jnp.float32),
             interpret=interpret,
-        )(cand_c, count_c, qc, cpack, cpack, cpack, cpack)
+        )(cand_c, count_c, qc, *extra, cpack, cpack, cpack, cpack)
 
-    return _chunked_call(run_chunk, chunk, nbq, 1, cand_sub, count, q)
+    if chunk == nbq:
+        return run_chunk((cand_sub, count, q, q_row))
+    nch = -(-nbq // chunk)
+    pad = nch * chunk - nbq
+
+    def cc(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+            )
+        return a.reshape((nch, chunk) + a.shape[1:])
+
+    out = jax.lax.map(run_chunk, (cc(cand_sub), cc(count), cc(q), cc(q_row)))
+    return out.reshape((-1,) + out.shape[2:])[:nbq]
 
 
 def fused_density_asm(q_pos, c_pos_parent, cand_sub, count, params, terms,
@@ -516,8 +543,8 @@ def fused_density_asm(q_pos, c_pos_parent, cand_sub, count, params, terms,
     kernel = functools.partial(
         _density_kernel_asm, h=float(params.h), poly6=float(terms.poly_6)
     )
-    wsum = _asm_call(kernel, q_pos, c_pos_parent, cand_sub, count, (), interpret)
-    density = params.particle_mass * wsum.reshape(-1)
+    wsum = _asm_call(kernel, q_pos, c_pos_parent, cand_sub, count, 8, interpret)
+    density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
 
@@ -534,6 +561,6 @@ def fused_forces_asm(q_force, c_force_parent, cand_sub, count, params, terms,
         poly6_lap=float(terms.poly_6_laplacian),
         eps=smoothing.EPSILON,
     )
-    sums = _asm_call(kernel, q_force, c_force_parent, cand_sub, count, (10,),
-                     interpret)
+    sums = _asm_call(kernel, q_force, c_force_parent, cand_sub, count, 10,
+                     interpret, with_qrow=True)
     return _combine_forces(sums, params, real_flat, density)
