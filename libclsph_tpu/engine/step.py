@@ -63,6 +63,12 @@ class StepConfig:
     # refined candidate volume (~35% fewer pair tests at 32 vs 128 on
     # a settled 262k cloud) at the cost of more grid steps.
     nl_query_rows: int = 128
+    # nl/asm pair-distance path. 'vpu' (default): elementwise
+    # dx^2+dy^2+dz^2. 'mxu': one K=5 dot on the matrix unit from
+    # domain-centred coordinates — measured SLOWER on v5e (the MXU is
+    # latency-bound at contraction depth 5 and HIGHEST precision costs
+    # 6 passes; +~60 ms/substep at 1M); kept as a documented variant.
+    pair_r2: str = "vpu"
     adaptive_dt: bool = True
 
     def tile_config(self) -> tiles_ops.TileConfig:
@@ -218,6 +224,16 @@ def _density_forces_pallas_nl(
 
     terms = params.precomputed()
     cfg = config.tile_config()
+    r2_mxu = config.pair_r2 == "mxu"
+    # centre coordinates for the MXU-r2 cancellation (pair math only
+    # sees differences, so this is physically neutral); real-particle
+    # median-ish centre via the sorted cloud's min/max
+    center = None
+    if r2_mxu:
+        real_pos = jnp.where(real[:, None], state.position, state.position[0])
+        center = 0.5 * (
+            jnp.min(real_pos, axis=0) + jnp.max(real_pos, axis=0)
+        )
 
     blocked = tiles_ops.make_blocked(
         state.position,
@@ -258,27 +274,30 @@ def _density_forces_pallas_nl(
 
     q_pos, _ = nl.make_query_planes(
         state.position, state.velocity, state.density, state.pressure,
-        real, q_rows, mass=mass,
+        real, q_rows, mass=mass, center=center,
     )
     c_pos_pack, _ = make_cpacks(
         state.position, state.velocity, state.density, state.pressure,
-        real, mass=mass,
+        real, mass=mass, center=center,
     )
     density = fused_density(
-        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real
+        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
+        r2_mxu=r2_mxu,
     )
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(real, pressure, 0.0)
 
     _, q_force = nl.make_query_planes(
         state.position, state.velocity, density, pressure,
-        real, q_rows, mass=mass,
+        real, q_rows, mass=mass, center=center,
     )
     _, c_force_pack = make_cpacks(
         state.position, state.velocity, density, pressure, real, mass=mass,
+        center=center,
     )
     accel = fused_forces(
-        q_force, c_force_pack, cand_sub, count_sub, params, terms, real, density
+        q_force, c_force_pack, cand_sub, count_sub, params, terms, real,
+        density, r2_mxu=r2_mxu,
     )
     return density, pressure, accel, overflow
 

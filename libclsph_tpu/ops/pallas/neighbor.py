@@ -363,21 +363,58 @@ def _forces_core(col, row, out, *, h, spiky, visc, poly6_grad, poly6_lap, eps):
         acc(_OLAP, l_mat)
 
 
-def _density_core_rowout(col, row, out, *, h, poly6):
+def _r2_mxu(col, row):
+    """Pair r2 in ONE MXU dot: r2 = |q|^2 + |c|^2 - 2 q.c, via the
+    augmented product [qx qy qz |q|^2 1] (B, 5) x
+    [-2cx; -2cy; -2cz; 1; |c|^2] (5, B). dx/dy/dz never materialise —
+    the rowout cores only ever use them through r2. HIGHEST precision
+    (6-pass f32 on the bf16 MXU; raw bf16 would truncate coordinates).
+
+    The expansion cancels catastrophically when |q| is large, so pack
+    builders subtract the domain centre first (make_* ``center=``);
+    with centred coords the absolute r2 error is ~|p|^2 * 6e-8 —
+    negligible against h^2 for any domain the 1024-cell Morton guard
+    admits. Clamped at 0: coincident pairs may round slightly negative.
+    """
+    qx, qy, qz = col(0), col(1), col(2)  # (B, 1)
+    cx, cy, cz = row(0), row(1), row(2)  # (1, B)
+    qn = qx * qx + qy * qy + qz * qz
+    lhs = jnp.concatenate(
+        [qx, qy, qz, qn, jnp.ones_like(qx)], axis=1
+    )  # (B, 5)
+    rhs = jnp.concatenate(
+        [-2.0 * cx, -2.0 * cy, -2.0 * cz, jnp.ones_like(cx),
+         cx * cx + cy * cy + cz * cz], axis=0
+    )  # (5, B)
+    r2 = jax.lax.dot_general(
+        lhs, rhs, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return jnp.maximum(r2, 0.0)
+
+
+def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False):
     """Row-output density tile: the lane reduction is ONE MXU
     dot_general against a ones row and the accumulator is lane-major
     (a (B, 1) column op costs 16 nearly-empty vregs on TPU; a (1, B)
-    row op costs one). ``out``: (1, 8, B) ref, row 0 accumulates."""
+    row op costs one). ``out``: (1, 8, B) ref, row 0 accumulates.
+    ``r2_mxu`` moves the pair-distance work onto the MXU too
+    (:func:`_r2_mxu`) — same physics to ~1e-6 absolute r2."""
     h2 = h * h
-    dx = col(0) - row(0)
-    dy = col(1) - row(1)
-    dz = col(2) - row(2)
-    r2 = dx * dx + dy * dy + dz * dz
-    incl = r2 < h2
+    if r2_mxu:
+        r2 = _r2_mxu(col, row)
+        incl = r2 < h2
+    else:
+        dx = col(0) - row(0)
+        dy = col(1) - row(1)
+        dz = col(2) - row(2)
+        r2 = dx * dx + dy * dy + dz * dz
+        incl = r2 < h2
 
     @pl.when(jnp.any(incl))
     def _():
-        t = jnp.where(incl, h2 - r2, 0.0)
+        t = jnp.maximum(h2 - r2, 0.0)  # the r<h cutoff clamp
         w = (poly6 * row(3)) * (t * t * t)  # (B, B)
         ones = jnp.ones_like(row(0))
         res = jax.lax.dot_general(
@@ -388,7 +425,7 @@ def _density_core_rowout(col, row, out, *, h, poly6):
 
 
 def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
-                        poly6_lap, eps):
+                        poly6_lap, eps, r2_mxu=False):
     """Row-output force tile: all ten cross-lane reductions become ONE
     MXU ``dot_general(rhs, lhs)`` whose result is lane-major, so every
     post-dot combine is a cheap (1, B) row op (the direct version's
@@ -398,35 +435,47 @@ def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
     column pack can't provide (1, B) rows without a transpose);
     ``out``: (1, 10, B) row-major accumulator. Physics identical to
     :func:`_forces_core` up to f32 summation order (dot in HIGHEST
-    precision)."""
+    precision).
+
+    ``r2_mxu`` computes r2 on the MXU (:func:`_r2_mxu`). Measured
+    SLOWER on v5e (+~30 ms/pass at 1M): the r2 dot contracts only K=5,
+    so the 128x128 systolic array runs latency-bound and HIGHEST
+    precision multiplies that by 6 — kept as a documented variant.
+
+    Both paths use the op-diet form: ``hrp = max(h-r, 0)`` and
+    ``t = max(h2-r2, 0)`` vanish outside the support radius on their
+    own, making the explicit incl masks redundant (the reference's
+    cutoff factor, smoothing.cl:1-4, is exactly this clamp); and the
+    viscosity term drops self-exclusion because a self pair
+    contributes v_j - v_i = 0 (forces.cl:78-84)."""
     h2 = h * h
-    dx = col(_QX) - row(_CX)
-    dy = col(_QY) - row(_CY)
-    dz = col(_QZ) - row(_CZ)
-    r2 = dx * dx + dy * dy + dz * dz
+    if r2_mxu:
+        r2 = _r2_mxu(col, row)
+    else:
+        dx = col(_QX) - row(_CX)
+        dy = col(_QY) - row(_CY)
+        dz = col(_QZ) - row(_CZ)
+        r2 = dx * dx + dy * dy + dz * dz
     incl_b = r2 < h2
 
     @pl.when(jnp.any(incl_b))
     def _():
-        incl = incl_b.astype(jnp.float32)
-        not_self = incl * (col(_QGID) != row(_CGID)).astype(jnp.float32)
         near0 = r2 < eps * eps
         inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
         r = r2 * inv_r
-        hr = h - r
         near0f = near0.astype(jnp.float32)
+
+        not_self = (col(_QGID) != row(_CGID)).astype(jnp.float32)
+        hr = jnp.maximum(h - r, 0.0)
+        t = jnp.maximum(h2 - r2, 0.0)
+        b_mat = (visc * row(_CMR)) * hr
+        u = row(_CMR) * t
 
         # pressure (Kelager 4.11) + coincident singular branch
         p_coeff = (row(_CPM) + col(_QPM)) * not_self
         spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
         a_reg = p_coeff * spiky_s
         sing = p_coeff * (spiky * near0f)
-        # viscosity
-        b_mat = (not_self * visc) * row(_CMR) * hr
-        # colour field (t zeroed under the cutoff BEFORE squaring: far
-        # rows would overflow f32)
-        t = jnp.where(incl_b, h2 - r2, 0.0)
-        u = (incl * row(_CMR)) * t
         g_mat = (poly6_grad * u) * t
         l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
 

@@ -36,6 +36,7 @@ i != j exclusion.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,15 +68,23 @@ GATHER_CHUNK_BYTES = 256 << 20
 
 
 def make_query_planes(position, velocity, density, pressure, real, block_size,
-                      mass=1.0, gid_offset=0):
+                      mass=1.0, gid_offset=0, center=None):
     """Column-oriented query packs (see neighbor.py layouts):
-    q_pos (nb, 3, B, 1), q_force (nb, 8, B, 1)."""
+    q_pos (nb, 3, B, 1), q_force (nb, 8, B, 1).
+
+    ``center``: optional (3,) world point subtracted from positions.
+    The pair math only sees differences, so any center is physically
+    neutral; the MXU-r2 path (neighbor._r2_mxu) needs coordinates
+    centred to keep the |q|^2+|c|^2-2qc cancellation benign. Query and
+    candidate packs MUST use the same center."""
     n = position.shape[0]
     nb = n // block_size
     # (gid_offset may be a traced shard index under shard_map; the
     # exact-f32 range check only applies to concrete offsets)
     if isinstance(gid_offset, int) and n + gid_offset >= MAX_PARTICLES_F32_ID:
         raise ValueError("particle ids exceed exact-f32 range")
+    if center is not None:
+        position = position - center
     safe_rho = jnp.where(density > 0, density, 1.0)
     pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
     gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
@@ -90,7 +99,7 @@ def make_query_planes(position, velocity, density, pressure, real, block_size,
 
 
 def make_csub_packs(position, velocity, density, pressure, real,
-                    mass=1.0, gid_offset=0, gid=None):
+                    mass=1.0, gid_offset=0, gid=None, center=None):
     """Row-oriented candidate subblock packs in the flat padding-free
     layout (see module docstring), each with ONE trailing dead row
     (index nc) that refined sentinel slots map to:
@@ -108,6 +117,8 @@ def make_csub_packs(position, velocity, density, pressure, real,
         n + gid_offset >= MAX_PARTICLES_F32_ID
     ):
         raise ValueError("particle ids exceed exact-f32 range")
+    if center is not None:
+        position = position - center
     realf = real.astype(jnp.float32)
     safe_rho = jnp.where(density > 0, density, 1.0)
     pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
@@ -180,7 +191,7 @@ def _pad_groups(cand_sub, count):
     return cand_sub, count_tiles
 
 
-def _density_kernel(count_ref, q, c, out, *, h, poly6):
+def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -196,7 +207,7 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6):
                 lambda k: q[0, k],
                 lambda k, s=s: c[s * 4 + k : s * 4 + k + 1, :],
                 out,
-                h=h, poly6=poly6,
+                h=h, poly6=poly6, r2_mxu=r2_mxu,
             )
 
 
@@ -210,6 +221,7 @@ def fused_density_nl(
     real_flat: jnp.ndarray,
     *,
     interpret: bool | None = None,
+    r2_mxu: bool = False,
 ) -> jnp.ndarray:
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
@@ -221,7 +233,8 @@ def fused_density_nl(
     mg = tiles_in.shape[0] // (nb * 4 * TPS)  # grid steps (TPS tiles each)
 
     kernel = functools.partial(
-        _density_kernel, h=float(params.h), poly6=float(terms.poly_6)
+        _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
+        r2_mxu=r2_mxu,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -243,7 +256,7 @@ def fused_density_nl(
 
 
 def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
-                   poly6_grad, poly6_lap, eps):
+                   poly6_grad, poly6_lap, eps, r2_mxu):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -261,6 +274,7 @@ def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
                 qrow, out,
                 h=h, spiky=spiky, visc=visc,
                 poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+                r2_mxu=r2_mxu,
             )
 
 
@@ -275,6 +289,7 @@ def fused_forces_nl(
     density: jnp.ndarray,
     *,
     interpret: bool | None = None,
+    r2_mxu: bool = False,
 ) -> jnp.ndarray:
     """Flat (n, 3) acceleration over the sorted order (combine step of
     forces.cl:110-122 applied to the raw sums)."""
@@ -292,6 +307,7 @@ def fused_forces_nl(
         poly6_grad=float(terms.poly_6_gradient),
         poly6_lap=float(terms.poly_6_laplacian),
         eps=smoothing.EPSILON,
+        r2_mxu=r2_mxu,
     )
     q_row = q_force[..., 0]  # (nb, 8, b) lane-major copy for combines
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -350,11 +366,21 @@ def _combine_forces(sums, params, real_flat, density):
 # exactly like neighbor.py) — and each compute tile is assembled from
 # four parent blocks with dynamic lane rolls (pltpu.roll) + masked
 # selects (~16 vreg ops per ~1000-cycle pair tile).
+#
+# Each grid step processes ATPS tiles (GROUP*ATPS parent-block input
+# specs): with one tile per step the per-step pipeline bookkeeping
+# dominates (~0.2 us x 8x more steps than the nl kernels — measured
+# +146 ms/substep at 1M); at ATPS=8 the step count matches nl's TPS=8
+# and the bookkeeping amortises identically.
 # ----------------------------------------------------------------------
+
+# asm tiles per grid step; env-overridable for tuning sweeps
+ATPS = int(os.environ.get("LIBCLSPH_TPU_ATPS", "8"))
 
 
 def make_cparent_packs(position, velocity, density, pressure, real,
-                       block_size=128, mass=1.0, gid_offset=0, gid=None):
+                       block_size=128, mass=1.0, gid_offset=0, gid=None,
+                       center=None):
     """Parent-block candidate packs (nbc+1, F, B) row-oriented (the
     neighbor.py candidate layout), with ONE trailing dead block
     (positions FAR, everything else 0) that clamped sentinel slots
@@ -369,6 +395,8 @@ def make_cparent_packs(position, velocity, density, pressure, real,
         n + gid_offset >= MAX_PARTICLES_F32_ID
     ):
         raise ValueError("particle ids exceed exact-f32 range")
+    if center is not None:
+        position = position - center
     realf = real.astype(jnp.float32)
     safe_rho = jnp.where(density > 0, density, 1.0)
     pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
@@ -394,12 +422,12 @@ def make_cparent_packs(position, velocity, density, pressure, real,
 
 
 def _pad_group(cand_sub):
-    """Pad the refined table to whole GROUP-subblock tiles (asm grid
-    steps are single tiles)."""
+    """Pad the refined table to whole (GROUP*ATPS)-subblock grid steps."""
     from ...ops.tiles import REFINE_SENTINEL
 
     nb, m = cand_sub.shape
-    mp = -(-m // GROUP) * GROUP
+    step = GROUP * ATPS
+    mp = -(-m // step) * step
     if mp != m:
         pad = jnp.full((nb, mp - m), REFINE_SENTINEL, cand_sub.dtype)
         cand_sub = jnp.concatenate([cand_sub, pad], axis=1)
@@ -407,28 +435,29 @@ def _pad_group(cand_sub):
 
 
 def _c_parent_spec(f, b, s, nbc_dead):
-    """Candidate input spec for assembly slot ``s``: DMA the PARENT
-    block of the (m*GROUP+s)-th refined subblock; sentinel slots clamp
-    to the trailing dead block."""
+    """Candidate input spec for assembly slot ``s`` of a grid step
+    (s < GROUP*ATPS): DMA the PARENT block of the (m*GROUP*ATPS+s)-th
+    refined subblock; sentinel slots clamp to the trailing dead block."""
     return pl.BlockSpec(
         (1, f, b),
         lambda i, m, cand_, count_: (
-            jnp.minimum(cand_[i, m * GROUP + s] // GROUP, nbc_dead), 0, 0
+            jnp.minimum(cand_[i, m * (GROUP * ATPS) + s] // GROUP, nbc_dead),
+            0, 0,
         ),
     )
 
 
-def _assemble_tile(cand_ref, count_ref, i, m, cs, f, n_pos):
-    """Build the (F, LANES) candidate tile for grid step (i, m): lane
-    quarter s comes from parent ref cs[s], rotated so its subblock's
-    lanes land in [s*SUB, (s+1)*SUB); dead slots keep the FAR/0
-    background. (i/m are passed in: pl.program_id cannot be bound
-    inside a pl.when body.)"""
+def _assemble_tile(cand_ref, count_ref, i, base, cs, f, n_pos):
+    """Build the (F, LANES) candidate tile for subblock slots
+    [base, base+GROUP): lane quarter s comes from parent ref cs[s],
+    rotated so its subblock's lanes land in [s*SUB, (s+1)*SUB); dead
+    slots keep the FAR/0 background. (i/base are passed in:
+    pl.program_id cannot be bound inside a pl.when body.)"""
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, LANES), 1)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (f, LANES), 0)
     tile = jnp.where(rowi < n_pos, FAR, 0.0)
     for s in range(GROUP):
-        slot = m * GROUP + s
+        slot = base + s
         sid = cand_ref[i, slot]
         quarter = jax.lax.rem(sid, GROUP)
         shift = jax.lax.rem(jnp.int32(s) - quarter + GROUP, GROUP) * SUB
@@ -438,7 +467,9 @@ def _assemble_tile(cand_ref, count_ref, i, m, cs, f, n_pos):
     return tile
 
 
-def _density_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h, poly6):
+def _density_kernel_asm(cand_ref, count_ref, q, *cs_and_out, h, poly6,
+                        r2_mxu):
+    cs, out = cs_and_out[:-1], cs_and_out[-1]
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -446,17 +477,24 @@ def _density_kernel_asm(cand_ref, count_ref, q, c0, c1, c2, c3, out, *, h, poly6
     def _():
         out[...] = jnp.zeros_like(out)
 
-    @pl.when(m * GROUP < count_ref[i])
-    def _():
-        tile = _assemble_tile(cand_ref, count_ref, i, m, (c0, c1, c2, c3), 4, 3)
-        _density_core_rowout(
-            lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
-            h=h, poly6=poly6,
-        )
+    for t in range(ATPS):
+        base = (m * ATPS + t) * GROUP
+
+        @pl.when(base < count_ref[i])
+        def _(t=t, base=base):
+            tile = _assemble_tile(
+                cand_ref, count_ref, i, base,
+                cs[t * GROUP : (t + 1) * GROUP], 4, 3,
+            )
+            _density_core_rowout(
+                lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
+                h=h, poly6=poly6, r2_mxu=r2_mxu,
+            )
 
 
-def _forces_kernel_asm(cand_ref, count_ref, q, qrow, c0, c1, c2, c3, out, *,
-                       h, spiky, visc, poly6_grad, poly6_lap, eps):
+def _forces_kernel_asm(cand_ref, count_ref, q, qrow, *cs_and_out, h, spiky,
+                       visc, poly6_grad, poly6_lap, eps, r2_mxu):
+    cs, out = cs_and_out[:-1], cs_and_out[-1]
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -464,14 +502,21 @@ def _forces_kernel_asm(cand_ref, count_ref, q, qrow, c0, c1, c2, c3, out, *,
     def _():
         out[...] = jnp.zeros_like(out)
 
-    @pl.when(m * GROUP < count_ref[i])
-    def _():
-        tile = _assemble_tile(cand_ref, count_ref, i, m, (c0, c1, c2, c3), 9, 3)
-        _forces_core_rowout(
-            lambda k: q[0, k], lambda k: tile[k : k + 1, :], qrow, out,
-            h=h, spiky=spiky, visc=visc,
-            poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
-        )
+    for t in range(ATPS):
+        base = (m * ATPS + t) * GROUP
+
+        @pl.when(base < count_ref[i])
+        def _(t=t, base=base):
+            tile = _assemble_tile(
+                cand_ref, count_ref, i, base,
+                cs[t * GROUP : (t + 1) * GROUP], 9, 3,
+            )
+            _forces_core_rowout(
+                lambda k: q[0, k], lambda k: tile[k : k + 1, :], qrow, out,
+                h=h, spiky=spiky, visc=visc,
+                poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+                r2_mxu=r2_mxu,
+            )
 
 
 def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
@@ -489,7 +534,7 @@ def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
     f_c, bc = cpack.shape[1], cpack.shape[2]
     cand_sub = _pad_group(cand_sub)
     mp = cand_sub.shape[1]
-    mg = mp // GROUP
+    mg = mp // (GROUP * ATPS)
     chunk = max(1, min(nbq, _query_chunk(nbq, mp)))
     q_row = q[..., 0]  # (nbq, f_q, b)
 
@@ -508,7 +553,7 @@ def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
             num_scalar_prefetch=2,
             grid=(chunk, mg),
             in_specs=in_specs
-            + [_c_parent_spec(f_c, bc, s, nbc_dead) for s in range(GROUP)],
+            + [_c_parent_spec(f_c, bc, s, nbc_dead) for s in range(GROUP * ATPS)],
             out_specs=pl.BlockSpec(
                 (1, out_rows, b), lambda i, m, c_, n_: (i, 0, 0)
             ),
@@ -518,7 +563,7 @@ def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((chunk, out_rows, b), jnp.float32),
             interpret=interpret,
-        )(cand_c, count_c, qc, *extra, cpack, cpack, cpack, cpack)
+        )(cand_c, count_c, qc, *extra, *([cpack] * (GROUP * ATPS)))
 
     if chunk == nbq:
         return run_chunk((cand_sub, count, q, q_row))
@@ -537,11 +582,12 @@ def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
 
 
 def fused_density_asm(q_pos, c_pos_parent, cand_sub, count, params, terms,
-                      real_flat, *, interpret=None):
+                      real_flat, *, interpret=None, r2_mxu=False):
     """Flat (n,) density via in-kernel assembly (see module section)."""
     interpret = _interpret_default() if interpret is None else interpret
     kernel = functools.partial(
-        _density_kernel_asm, h=float(params.h), poly6=float(terms.poly_6)
+        _density_kernel_asm, h=float(params.h), poly6=float(terms.poly_6),
+        r2_mxu=r2_mxu,
     )
     wsum = _asm_call(kernel, q_pos, c_pos_parent, cand_sub, count, 8, interpret)
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
@@ -549,7 +595,7 @@ def fused_density_asm(q_pos, c_pos_parent, cand_sub, count, params, terms,
 
 
 def fused_forces_asm(q_force, c_force_parent, cand_sub, count, params, terms,
-                     real_flat, density, *, interpret=None):
+                     real_flat, density, *, interpret=None, r2_mxu=False):
     """Flat (n, 3) acceleration via in-kernel assembly."""
     interpret = _interpret_default() if interpret is None else interpret
     kernel = functools.partial(
@@ -560,6 +606,7 @@ def fused_forces_asm(q_force, c_force_parent, cand_sub, count, params, terms,
         poly6_grad=float(terms.poly_6_gradient),
         poly6_lap=float(terms.poly_6_laplacian),
         eps=smoothing.EPSILON,
+        r2_mxu=r2_mxu,
     )
     sums = _asm_call(kernel, q_force, c_force_parent, cand_sub, count, 10,
                      interpret, with_qrow=True)

@@ -85,14 +85,21 @@ def _nl_passes(
     params: SimulationParameters,
     terms,
     config: StepConfig,
+    center=None,
 ):
     """Run the production nl Pallas kernels (ops/pallas/neighbor_nl.py)
     against an exchanged candidate block table — the sharded analog of
     engine.step._density_forces_pallas_nl. ``pos_fields`` /
     ``force_fields(blocked)`` provide the candidate-side tables
     (all-gathered or local+halo). Returns (density, pressure, accel,
-    overflow)."""
+    overflow). ``center``: shared coordinate centre for the MXU-r2
+    path (config.pair_r2), identical on every shard (from the global
+    pmin/pmax bounds)."""
     from ..ops.pallas import neighbor_nl as nl
+
+    r2_mxu = config.pair_r2 == "mxu"
+    if not r2_mxu:
+        center = None
 
     cfg = config.tile_config()
     sub = cfg.block_size // nl.SUB
@@ -123,15 +130,17 @@ def _nl_passes(
             cf.real.reshape(-1),
             mass=mass,
             gid=cf.gid.reshape(-1),
+            center=center,
         )
 
     q_pos, _ = nl.make_query_planes(
         state_s.position, state_s.velocity, state_s.density, state_s.pressure,
-        valid_s, q_rows, mass=mass, gid_offset=gid_offset,
+        valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     c_pos_pack, _ = packs(pos_fields)
     density = nl.fused_density_nl(
-        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s
+        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
+        r2_mxu=r2_mxu,
     )
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(valid_s, pressure, 0.0)
@@ -143,12 +152,12 @@ def _nl_passes(
     )
     _, q_force = nl.make_query_planes(
         state_s.position, state_s.velocity, density, pressure,
-        valid_s, q_rows, mass=mass, gid_offset=gid_offset,
+        valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     _, c_force_pack = packs(force_fields(blocked))
     accel = nl.fused_forces_nl(
         q_force, c_force_pack, cand_sub, count_sub, params, terms,
-        valid_s, density,
+        valid_s, density, r2_mxu=r2_mxu,
     )
     return density, pressure, accel, ovf
 
@@ -444,6 +453,7 @@ def _local_substep(
             state_s, blocked, bmin, bmax, cand, count,
             pos_fields, force_fields, valid_s,
             shard * n_local, params, terms, config,
+            center=0.5 * (pos_min + pos_max),
         )
         overflow = overflow | nl_ovf
     else:

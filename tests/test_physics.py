@@ -314,10 +314,16 @@ class TestDiagnostics:
 
 
 @pytest.mark.parametrize(
-    "variant,q_rows",
-    [("row", 128), ("asym", 128), ("nl", 128), ("nl", 64), ("nl", 32)],
+    "variant,q_rows,pair_r2",
+    [("row", 128, "vpu"), ("asym", 128, "vpu"),
+     ("nl", 128, "vpu"), ("nl", 64, "vpu"), ("nl", 32, "vpu"),
+     ("asm", 128, "vpu"), ("asm", 32, "vpu"),
+     # MXU-r2 path: r2 rounds at ~|p|^2*6e-8 absolute, so densities
+     # land within the framework's 1e-4 physics-fidelity target rather
+     # than the vpu path's 1e-5 (BASELINE.md fidelity row)
+     ("nl", 128, "mxu"), ("nl", 32, "mxu"), ("asm", 128, "mxu")],
 )
-def test_pallas_variants_match_tiles(rng, variant, q_rows):
+def test_pallas_variants_match_tiles(rng, variant, q_rows, pair_r2):
     params = make_params(WATER, n=1024)
     pos, vel = random_cloud(rng, params, 1024)
     state = make_state(pos, vel)
@@ -325,15 +331,17 @@ def test_pallas_variants_match_tiles(rng, variant, q_rows):
     st, _, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg_t)
     cfg_p = StepConfig(
         neighbor_impl="pallas", pallas_variant=variant,
-        nl_query_rows=q_rows, adaptive_dt=False
+        nl_query_rows=q_rows, pair_r2=pair_r2, adaptive_dt=False
     )
     sp, _, ovf = substep_jit(state, jnp.float32(1e-9), params, None, cfg_p)
     assert not bool(ovf)
+    rho_rtol = 1e-5 if pair_r2 == "vpu" else 2e-4
+    acc_atol = 1e-4 if pair_r2 == "vpu" else 5e-4
     np.testing.assert_allclose(
-        np.asarray(st.density), np.asarray(sp.density), rtol=1e-5
+        np.asarray(st.density), np.asarray(sp.density), rtol=rho_rtol
     )
     a1, a2 = np.asarray(st.acceleration), np.asarray(sp.acceleration)
-    np.testing.assert_allclose(a1, a2, atol=1e-4 * np.abs(a1).max())
+    np.testing.assert_allclose(a1, a2, atol=acc_atol * np.abs(a1).max())
 
 
 @pytest.mark.parametrize("n", [100, 129, 2049])
