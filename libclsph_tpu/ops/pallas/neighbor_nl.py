@@ -104,8 +104,15 @@ def make_csub_packs(position, velocity, density, pressure, real,
     layout (see module docstring), each with ONE trailing dead row
     (index nc) that refined sentinel slots map to:
 
-    c_pos   (nc+1, 4*SUB) — px py pz realmask
-    c_force (nc+1, 9*SUB) — px py pz vx vy vz pm mr gid
+    c_pos   (nc+1, 4*SUB)  — px py pz realmask
+    c_force (nc+1, 12*SUB) — px py pz vx vy vz pm mr gid + 3 zero pads
+
+    The force pack is padded from 9 to 12 fields so each row is a
+    whole number of 128-lane vregs (12*32 = 384): XLA's row gather
+    runs ~2x faster on lane-aligned rows (measured 27 -> 19 ms per
+    force pass at 1M on v5e; the pad bytes are free at the gather's
+    row-descriptor rate). gather_tiles trims the pads during the
+    lane-pack transpose.
 
     ``gid``: explicit flat int32 particle-id plane (e.g. of a gathered
     multi-shard table, parallel/sharded_step.py); defaults to
@@ -130,28 +137,79 @@ def make_csub_packs(position, velocity, density, pressure, real,
     px, py, pz = position[:, 0], position[:, 1], position[:, 2]
     vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
 
-    def pack(fields):
+    def pack(fields, pad_to=None):
         f = len(fields)
         a = jnp.stack(fields, axis=0)  # (F, n)
         a = a.reshape(f, nc, SUB).swapaxes(0, 1).reshape(nc, f * SUB)
+        if pad_to is not None and pad_to > f:
+            a = jnp.pad(a, ((0, 0), (0, (pad_to - f) * SUB)))
+            f = pad_to
         dead = jnp.zeros((1, f * SUB), jnp.float32)
         dead = dead.at[:, : 3 * SUB].set(FAR)  # positions first
         return jnp.concatenate([a, dead], axis=0)
 
     c_pos = pack([px, py, pz, realf])
-    c_force = pack([px, py, pz, vx, vy, vz, pm, mr, gidf])
+    c_force = pack([px, py, pz, vx, vy, vz, pm, mr, gidf], pad_to=12)
     return c_pos, c_force
 
 
-def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray) -> jnp.ndarray:
+def gather_raw(cpack: jnp.ndarray, cand_sub: jnp.ndarray) -> jnp.ndarray:
+    """Gather candidate subblock rows WITHOUT lane-packing: (nc+1,
+    F*SUB) flat pack and (nb, M) refined ids -> (nb*M, F*SUB) raw row
+    stream in slot order. The kernels assemble (F, 128) tiles from 4
+    raw rows in-registers (:func:`_tile_from_raw`): XLA's row gather
+    runs at ~130 GB/s on lane-aligned rows, but the lane-pack
+    TRANSPOSE that gather_tiles does afterwards runs at ~30 GB/s (~145
+    ms/substep at 1M, measured) — in-kernel assembly costs ~10% of
+    kernel time instead. F*SUB must be a whole number of 128-lane
+    vregs (pad the pack)."""
+    fs = cpack.shape[1]
+    if fs % LANES:
+        raise ValueError("raw pack rows must be whole 128-lane vregs")
+    dead = cpack.shape[0] - 1
+    idx = jnp.minimum(cand_sub, dead)
+    out = jnp.take(cpack, idx.reshape(-1), axis=0)
+    return out
+
+
+def _tile_from_raw(craw, t, nv):
+    """Assemble one (4*nv, 128) candidate tile from raw gathered rows.
+
+    ``craw``: (TPS*GROUP, 128*nv) block of raw pack rows (row = one
+    subblock, lanes = [f0:32 | f1:32 | ...]); tile t uses rows
+    t*GROUP..t*GROUP+3. For each 128-lane vreg column this is a 4x4
+    block transpose with 32-lane cells — dest[f, s*32:] =
+    src[s, f*32:] — done as 4 (sublane-roll, lane-roll, select)
+    rounds, diagonal d at a time.
+    """
+    ct = craw[t * GROUP : (t + 1) * GROUP, :]  # (4, 128*nv)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 1) // SUB
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (GROUP, LANES), 0)
+    rows = []
+    for v in range(nv):
+        cv = ct[:, v * LANES : (v + 1) * LANES]  # (4, 128)
+        out = jnp.zeros_like(cv)
+        for d in range(GROUP):
+            r = pltpu.roll(cv, (GROUP - d) % GROUP, axis=0)
+            r = pltpu.roll(r, d * SUB, axis=1)
+            out = jnp.where((lane_q - row_i) % GROUP == d, r, out)
+        rows.append(out)
+    return jnp.concatenate(rows, axis=0)  # (4*nv, 128), field-major
+
+
+def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray,
+                 f_out: int | None = None) -> jnp.ndarray:
     """Gather + lane-pack candidate subblocks: (nc+1, F*SUB) flat pack
     and (nb, M) refined ids (dead slots >= pack rows) -> the flat 2D
-    (nb * M/GROUP * F, LANES) tile stream consumed sequentially by the
-    kernel grid. Chunked over query blocks so the (rows, M, F*SUB)
-    gather transient stays under GATHER_CHUNK_BYTES."""
+    (nb * M/GROUP * F_OUT, LANES) tile stream consumed sequentially by
+    the kernel grid. ``f_out`` trims gather-alignment pad fields (the
+    pack may carry zero pads so its rows are whole 128-lane vregs).
+    Chunked over query blocks so the (rows, M, F*SUB) gather transient
+    stays under GATHER_CHUNK_BYTES."""
     nb, m = cand_sub.shape
     fs = cpack.shape[1]
     f = fs // SUB
+    f_out = f if f_out is None else f_out
     dead = cpack.shape[0] - 1
     idx = jnp.minimum(cand_sub, dead)
     mg = m // GROUP
@@ -159,8 +217,9 @@ def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray) -> jnp.ndarray:
     def run(ix):
         rows = ix.shape[0]
         g = jnp.take(cpack, ix, axis=0)  # (rows, M, F*SUB)
-        g = g.reshape(rows, mg, GROUP, f, SUB).swapaxes(2, 3)
-        return g.reshape(rows * mg * f, LANES)
+        g = g.reshape(rows, mg, GROUP, f, SUB)[:, :, :, :f_out]
+        g = g.swapaxes(2, 3)
+        return g.reshape(rows * mg * f_out, LANES)
 
     chunk_rows = max(1, GATHER_CHUNK_BYTES // (m * fs * 4))
     if nb <= chunk_rows:
@@ -173,7 +232,7 @@ def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray) -> jnp.ndarray:
             [idx, jnp.full((pad, m), dead, idx.dtype)], axis=0
         )
     out = jax.lax.map(run, idx.reshape(nch, rows, m))
-    return out.reshape(-1, LANES)[: nb * mg * f]
+    return out.reshape(-1, LANES)[: nb * mg * f_out]
 
 
 def _pad_groups(cand_sub, count):
@@ -203,9 +262,10 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu):
 
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
+            tile = _tile_from_raw(c, s, 1)  # (4, 128)
             _density_core_rowout(
                 lambda k: q[0, k],
-                lambda k, s=s: c[s * 4 + k : s * 4 + k + 1, :],
+                lambda k: tile[k : k + 1, :],
                 out,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
             )
@@ -229,8 +289,8 @@ def fused_density_nl(
     nb, _, b, _ = q_pos.shape
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
-    tiles_in = gather_tiles(c_pos_pack, cand_sub)  # (nb*mg*TPS*4, LANES)
-    mg = tiles_in.shape[0] // (nb * 4 * TPS)  # grid steps (TPS tiles each)
+    raw = gather_raw(c_pos_pack, cand_sub)  # (nb*mp, 4*SUB=128)
+    mg = raw.shape[0] // (nb * TPS * GROUP)  # grid steps (TPS tiles each)
 
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
@@ -241,7 +301,9 @@ def fused_density_nl(
         grid=(nb, mg),
         in_specs=[
             pl.BlockSpec((1, 3, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
-            pl.BlockSpec((TPS * 4, LANES), lambda i, m, count_: (i * mg + m, 0)),
+            pl.BlockSpec(
+                (TPS * GROUP, LANES), lambda i, m, count_: (i * mg + m, 0)
+            ),
         ],
         out_specs=pl.BlockSpec((1, 8, b), lambda i, m, count_: (i, 0, 0)),
     )
@@ -250,7 +312,7 @@ def fused_density_nl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
         interpret=interpret,
-    )(count_tiles, q_pos, tiles_in)
+    )(count_tiles, q_pos, raw)
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
@@ -268,9 +330,10 @@ def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
 
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
+            tile = _tile_from_raw(c, s, 3)  # (12, 128); rows 9-11 pads
             _forces_core_rowout(
                 lambda k: q[0, k],
-                lambda k, s=s: c[s * 9 + k : s * 9 + k + 1, :],
+                lambda k: tile[k : k + 1, :],
                 qrow, out,
                 h=h, spiky=spiky, visc=visc,
                 poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
@@ -296,8 +359,8 @@ def fused_forces_nl(
     nb, _, b, _ = q_force.shape
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
-    tiles_in = gather_tiles(c_force_pack, cand_sub)  # (nb*mg*TPS*9, LANES)
-    mg = tiles_in.shape[0] // (nb * 9 * TPS)  # grid steps (TPS tiles each)
+    raw = gather_raw(c_force_pack, cand_sub)  # (nb*mp, 12*SUB=384)
+    mg = raw.shape[0] // (nb * TPS * GROUP)  # grid steps (TPS tiles each)
 
     kernel = functools.partial(
         _forces_kernel,
@@ -316,7 +379,9 @@ def fused_forces_nl(
         in_specs=[
             pl.BlockSpec((1, 8, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
             pl.BlockSpec((1, 8, b), lambda i, m, count_: (i, 0, 0)),
-            pl.BlockSpec((TPS * 9, LANES), lambda i, m, count_: (i * mg + m, 0)),
+            pl.BlockSpec(
+                (TPS * GROUP, 3 * LANES), lambda i, m, count_: (i * mg + m, 0)
+            ),
         ],
         out_specs=pl.BlockSpec((1, 10, b), lambda i, m, count_: (i, 0, 0)),
     )
@@ -325,7 +390,7 @@ def fused_forces_nl(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb, 10, b), jnp.float32),
         interpret=interpret,
-    )(count_tiles, q_force, q_row, tiles_in)
+    )(count_tiles, q_force, q_row, raw)
     return _combine_forces(sums, params, real_flat, density)
 
 
