@@ -111,72 +111,29 @@ def take_only(c_force, cand_p):
 
 
 @jax.jit
-def gt_force(c_force, cand_p):
-    return nl.gather_tiles(c_force, cand_p, f_out=9)
+def gr_force(c_force, cand_p):
+    return nl.gather_raw(c_force, cand_p)
 
 
 @jax.jit
-def gt_pos(c_pos, cand_p):
-    return nl.gather_tiles(c_pos, cand_p)
+def gr_pos(c_pos, cand_p):
+    return nl.gather_raw(c_pos, cand_p)
 
 
-tiles_f = jax.block_until_ready(gt_force(c_force, cand_p))
-tiles_p = jax.block_until_ready(gt_pos(c_pos, cand_p))
-
-
-@jax.jit
-def dens_kernel(q_pos, tiles_p, count_tiles, real):
-    nb = q_pos.shape[0]
-    mg = tiles_p.shape[0] // (nb * 4 * nl.TPS)
-    import functools
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    kernel = functools.partial(
-        nl._density_kernel, h=float(params.h), poly6=float(terms.poly_6),
-        r2_mxu=False)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, mg),
-        in_specs=[
-            pl.BlockSpec((1, 3, 128, 1), lambda i, m, c_: (i, 0, 0, 0)),
-            pl.BlockSpec((nl.TPS * 4, 128), lambda i, m, c_: (i * mg + m, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i, m, c_: (i, 0, 0)),
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 8, 128), jnp.float32),
-    )(count_tiles, q_pos, tiles_p)
+raw_f = jax.block_until_ready(gr_force(c_force, cand_p))
+raw_p = jax.block_until_ready(gr_pos(c_pos, cand_p))
 
 
 @jax.jit
-def force_kernel(q_force, tiles_f, count_tiles, real, dens):
-    nb = q_force.shape[0]
-    mg = tiles_f.shape[0] // (nb * 9 * nl.TPS)
-    import functools
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    from libclsph_tpu.core import smoothing
-    kernel = functools.partial(
-        nl._forces_kernel, h=float(params.h), spiky=float(terms.spiky),
-        visc=float(terms.viscosity), poly6_grad=float(terms.poly_6_gradient),
-        poly6_lap=float(terms.poly_6_laplacian), eps=smoothing.EPSILON,
-        r2_mxu=False)
-    q_row = q_force[..., 0]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, mg),
-        in_specs=[
-            pl.BlockSpec((1, 8, 128, 1), lambda i, m, c_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 8, 128), lambda i, m, c_: (i, 0, 0)),
-            pl.BlockSpec((nl.TPS * 9, 128), lambda i, m, c_: (i * mg + m, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 10, 128), lambda i, m, c_: (i, 0, 0)),
-    )
-    return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 10, 128), jnp.float32),
-    )(count_tiles, q_force, q_row, tiles_f)
+def dens_kernel(q_pos, c_pos, cand_p, count_sub, real):
+    return nl.fused_density_nl(
+        q_pos, c_pos, cand_p, count_sub, params, terms, real)
+
+
+@jax.jit
+def force_kernel(q_force, c_force, cand_p, count_sub, real, dens):
+    return nl.fused_forces_nl(
+        q_force, c_force, cand_p, count_sub, params, terms, real, dens)
 
 
 @jax.jit
@@ -198,11 +155,12 @@ def refine_only(state_s, real):
 
 timeit("make packs (q+c, both passes)", mk_packs, state_s, real)
 timeit("take only (F=12 force pack)", take_only, c_force, cand_p)
-timeit("gather_tiles force (take+tr)", gt_force, c_force, cand_p)
-timeit("gather_tiles pos (take+tr)", gt_pos, c_pos, cand_p)
-timeit("density kernel only", dens_kernel, q_pos, tiles_p, count_tiles, real)
-timeit("force kernel only", force_kernel, q_force, tiles_f, count_tiles, real,
-       state_s.density)
+timeit("gather_raw force (F=12)", gr_force, c_force, cand_p)
+timeit("gather_raw pos (F=4)", gr_pos, c_pos, cand_p)
+timeit("density gather+kernel", dens_kernel, q_pos, c_pos, cand_sub, count_sub,
+       real)
+timeit("force gather+kernel", force_kernel, q_force, c_force, cand_sub,
+       count_sub, real, state_s.density)
 timeit("cand+refine (from state)", refine_only, state_s, real)
 timeit("FULL density+forces nl", full_nl, state_s, real)
 timeit("FULL substep", lambda s, d: substep_jit(s, d, params, None, cfg)[0],

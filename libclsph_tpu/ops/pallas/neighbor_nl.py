@@ -65,6 +65,15 @@ TPS = 8
 FAR = 1.0e8  # dead-row position: never within any support radius
 # transient budget for the gather's (rows, M, F*SUB) intermediate
 GATHER_CHUNK_BYTES = 256 << 20
+# budget for the materialised raw candidate stream fed to one
+# pallas_call. The stream scales with CAPACITY (nb * max_candidates_sub
+# rows), not live counts — unchunked it is 2.4 GB at 1M/q128 and OOMs
+# outright at 4M or with fine query rows (q32 = 4x nb). _nl_call
+# lax.maps gather+kernel over query-block chunks under this budget.
+# The lax.map serialisation costs ~25 ms/substep at 1M, so the budget
+# is set above the headline workload's stream (single chunk at 1M
+# q128) and chunking only engages where the alternative is an OOM.
+NL_CHUNK_BYTES = int(os.environ.get("LIBCLSPH_TPU_NL_CHUNK_MB", "3072")) << 20
 
 
 def make_query_planes(position, velocity, density, pressure, real, block_size,
@@ -250,6 +259,76 @@ def _pad_groups(cand_sub, count):
     return cand_sub, count_tiles
 
 
+def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
+             with_qrow=False):
+    """Shared driver for the nl kernels: lax.map over query-block
+    chunks, each chunk = row gather (gather_raw) + one pallas_call over
+    (chunk, mg) grid steps. Chunking bounds the raw-stream transient to
+    NL_CHUNK_BYTES; XLA frees each chunk's stream before the next."""
+    nb = q.shape[0]
+    f_q, b = q.shape[1], q.shape[2]
+    fs = cpack.shape[1]
+    mp = cand_sub.shape[1]
+    mg = mp // (TPS * GROUP)
+    dead = cpack.shape[0] - 1
+    chunk = max(1, min(nb, NL_CHUNK_BYTES // (mp * fs * 4)))
+    q_row = q[..., 0] if with_qrow else None
+
+    def run_chunk(args):
+        if with_qrow:
+            cand_c, count_c, qc, qrow_c = args
+        else:
+            cand_c, count_c, qc = args
+            qrow_c = None
+        raw = gather_raw(cpack, cand_c)
+        in_specs = [
+            pl.BlockSpec((1, f_q, b, 1), lambda i, m, n_: (i, 0, 0, 0)),
+        ]
+        extra = ()
+        if with_qrow:
+            in_specs.append(
+                pl.BlockSpec((1, f_q, b), lambda i, m, n_: (i, 0, 0))
+            )
+            extra = (qrow_c,)
+        in_specs.append(
+            pl.BlockSpec((TPS * GROUP, fs), lambda i, m, n_: (i * mg + m, 0))
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cand_c.shape[0], mg),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, out_rows, b), lambda i, m, n_: (i, 0, 0)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (cand_c.shape[0], out_rows, b), jnp.float32
+            ),
+            interpret=interpret,
+        )(count_c, qc, *extra, raw)
+
+    args = (cand_sub, count_tiles, q) + ((q_row,) if with_qrow else ())
+    if chunk == nb:
+        return run_chunk(args)
+    nch = -(-nb // chunk)
+    pad = nch * chunk - nb
+    fills = (dead, 0, 0, 0)
+
+    def cc(a, fill):
+        if pad:
+            tail = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            a = jnp.concatenate([a, tail], axis=0)
+        return a.reshape((nch, chunk) + a.shape[1:])
+
+    out = jax.lax.map(
+        run_chunk, tuple(cc(a, f) for a, f in zip(args, fills))
+    )
+    return out.reshape((-1,) + out.shape[2:])[:nb]
+
+
 def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu):
     i = pl.program_id(0)
     m = pl.program_id(1)
@@ -286,33 +365,15 @@ def fused_density_nl(
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
     make_csub_packs."""
-    nb, _, b, _ = q_pos.shape
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
-    raw = gather_raw(c_pos_pack, cand_sub)  # (nb*mp, 4*SUB=128)
-    mg = raw.shape[0] // (nb * TPS * GROUP)  # grid steps (TPS tiles each)
-
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
         r2_mxu=r2_mxu,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, mg),
-        in_specs=[
-            pl.BlockSpec((1, 3, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
-            pl.BlockSpec(
-                (TPS * GROUP, LANES), lambda i, m, count_: (i * mg + m, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, 8, b), lambda i, m, count_: (i, 0, 0)),
+    wsum = _nl_call(
+        kernel, q_pos, c_pos_pack, cand_sub, count_tiles, 8, interpret
     )
-    wsum = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 8, b), jnp.float32),
-        interpret=interpret,
-    )(count_tiles, q_pos, raw)
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     return jnp.where(real_flat, density, params.fluid_density)
 
@@ -356,12 +417,8 @@ def fused_forces_nl(
 ) -> jnp.ndarray:
     """Flat (n, 3) acceleration over the sorted order (combine step of
     forces.cl:110-122 applied to the raw sums)."""
-    nb, _, b, _ = q_force.shape
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
-    raw = gather_raw(c_force_pack, cand_sub)  # (nb*mp, 12*SUB=384)
-    mg = raw.shape[0] // (nb * TPS * GROUP)  # grid steps (TPS tiles each)
-
     kernel = functools.partial(
         _forces_kernel,
         h=float(params.h),
@@ -372,25 +429,10 @@ def fused_forces_nl(
         eps=smoothing.EPSILON,
         r2_mxu=r2_mxu,
     )
-    q_row = q_force[..., 0]  # (nb, 8, b) lane-major copy for combines
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, mg),
-        in_specs=[
-            pl.BlockSpec((1, 8, b, 1), lambda i, m, count_: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 8, b), lambda i, m, count_: (i, 0, 0)),
-            pl.BlockSpec(
-                (TPS * GROUP, 3 * LANES), lambda i, m, count_: (i * mg + m, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, 10, b), lambda i, m, count_: (i, 0, 0)),
+    sums = _nl_call(
+        kernel, q_force, c_force_pack, cand_sub, count_tiles, 10, interpret,
+        with_qrow=True,
     )
-    sums = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, 10, b), jnp.float32),
-        interpret=interpret,
-    )(count_tiles, q_force, q_row, raw)
     return _combine_forces(sums, params, real_flat, density)
 
 

@@ -31,6 +31,7 @@ sort to the tail; the sentinel mask rides along as ``real``.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -322,6 +323,11 @@ def subblock_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray, sub: in
 # it to a dedicated dead row (ops/pallas/neighbor_nl.py)
 REFINE_SENTINEL = 2**30  # Python int, not jnp (see SENTINEL_CODE note)
 
+# transient budget for refine's gathered (rows, 128) box stream
+REFINE_CHUNK_BYTES = (
+    int(os.environ.get("LIBCLSPH_TPU_REFINE_CHUNK_MB", "512")) << 20
+)
+
 
 def refine_candidates(
     cand: jnp.ndarray,
@@ -347,30 +353,94 @@ def refine_candidates(
     ``sub_lo``/``sub_hi`` (nc*sub, 3): candidate subblock boxes (from
     :func:`subblock_bounds`, possibly of a gathered global table).
 
+    Layout (the LAYOUT RULE of ops/pallas/neighbor_nl.py): the per-slot
+    box gather reads a FLAT (nc, 128)-lane pack — lane s*6+f holds
+    subblock s's [lo.xyz | hi.xyz][f] — so its (rows, 128) output is
+    padding-free under the (8, 128) tiling. A naive (rows, sub, 3)
+    gather pads 42.7x (12 GB at 4M — instant OOM, measured). Overlap
+    per subblock = all 6 of its lane predicates pass, counted with one
+    (rows, 128) @ (128, sub) MXU product per split box; the whole test
+    is lax.map-chunked over query rows under REFINE_CHUNK_BYTES.
+
     Returns (cand_sub (nb, max_sub) int32 subblock ids with dead slots
     = REFINE_SENTINEL, count_sub (nb,), overflowed () bool). Compaction
     is the sort trick from candidate_blocks_hierarchical: ascending row
     sort packs passing ids to the front.
     """
     nb, m = cand.shape
-    nsub_boxes = sub_lo.reshape(-1, sub, 3)
-    nsub_hi = sub_hi.reshape(-1, sub, 3)
-    g_lo = jnp.take(nsub_boxes, cand, axis=0)  # (nb, M, sub, 3)
-    g_hi = jnp.take(nsub_hi, cand, axis=0)
-    lo = (qmin - h)[:, :, None, None, :]  # (nb, S, 1, 1, 3)
-    hi = (qmax + h)[:, :, None, None, :]
-    ov = jnp.any(
-        jnp.all(
-            (lo <= g_hi[:, None]) & (hi >= g_lo[:, None]), axis=-1
-        ),
-        axis=1,
-    )  # (nb, M, sub)
-    live = (jnp.arange(m, dtype=jnp.int32) < count[:, None])[:, :, None]
-    ok = ov & live
-    ids = cand[:, :, None] * sub + jnp.arange(sub, dtype=jnp.int32)
-    keys = jnp.where(ok, ids, REFINE_SENTINEL).reshape(nb, m * sub)
+    s_split = qmin.shape[1]
+    if sub * 6 > 128:
+        raise ValueError("sub too large for the 128-lane box pack")
+    nc = sub_lo.shape[0] // sub
+    # flat box pack (nc, 128)
+    bp = jnp.concatenate(
+        [sub_lo.reshape(nc, sub, 3), sub_hi.reshape(nc, sub, 3)], axis=2
+    ).reshape(nc, sub * 6)
+    bp = jnp.pad(bp, ((0, 0), (0, 128 - sub * 6)))
+
+    lane = jnp.arange(128, dtype=jnp.int32)
+    f6 = lane % 6
+    fc = jnp.where(f6 < 3, f6, f6 - 3)  # world axis per lane
+    is_lo = f6 < 3  # lane holds a subblock lo field
+    # selector: count subblock s's 6 lanes (invalid lanes select nothing)
+    sel = (
+        (lane[:, None] // 6 == jnp.arange(sub)[None, :]) & (lane[:, None] < sub * 6)
+    ).astype(jnp.float32)
+    # per-lane query compare values, one per split box: lo lanes need
+    # qmax + h >= g, hi lanes need qmin - h <= g
+    qc = jnp.where(
+        is_lo,
+        jnp.take(qmax + h, fc, axis=-1),
+        jnp.take(qmin - h, fc, axis=-1),
+    )  # (nb, S, 128)
+    live = jnp.arange(m, dtype=jnp.int32) < count[:, None]  # (nb, m)
+    candc = jnp.where(live, cand, 0)
+
+    def run(args):
+        candc_c, qc_c, live_c, cand_c = args
+        rows = candc_c.shape[0]
+        g = jnp.take(bp, candc_c.reshape(-1), axis=0).reshape(rows, m, 128)
+        ok = jnp.zeros((rows, sub, m), bool)
+        for s in range(s_split):
+            qs = qc_c[:, s, None, :]  # (rows, 1, 128)
+            pred = jnp.where(is_lo, g <= qs, g >= qs)
+            counts = jnp.einsum(
+                "rml,ls->rsm",
+                pred.astype(jnp.float32),
+                sel,
+                preferred_element_type=jnp.float32,
+            )
+            ok = ok | (counts == 6.0)
+        ok = ok & live_c[:, None, :]
+        ids = cand_c[:, None, :] * sub + jnp.arange(sub, dtype=jnp.int32)[
+            None, :, None
+        ]
+        keys = jnp.where(ok, ids, REFINE_SENTINEL)  # (rows, sub, m)
+        count_c = jnp.sum(ok, axis=(1, 2))
+        return keys, count_c
+
+    chunk = max(1, min(nb, REFINE_CHUNK_BYTES // (m * 128 * 4)))
+    if chunk == nb:
+        keys, count_sub = run((candc, qc, live, cand))
+    else:
+        nch = -(-nb // chunk)
+        pad = nch * chunk - nb
+
+        def cc(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                )
+            return a.reshape((nch, chunk) + a.shape[1:])
+
+        keys, count_sub = jax.lax.map(run, (cc(candc), cc(qc), cc(live), cc(cand)))
+        keys = keys.reshape((-1, sub, m))[:nb]
+        count_sub = count_sub.reshape(-1)[:nb]
+
+    # (nb, sub, m) -> (nb, sub*m) via lane concat (order irrelevant: the
+    # ascending sort packs live ids to the front either way)
+    keys = jnp.concatenate([keys[:, s, :] for s in range(sub)], axis=1)
     cand_sub = jnp.sort(keys, axis=1)[:, :max_sub]
-    count_sub = jnp.sum(ok.reshape(nb, m * sub), axis=1)
     overflow = jnp.any(count_sub > max_sub)
     return cand_sub, jnp.minimum(count_sub, max_sub), overflow
 
