@@ -55,7 +55,10 @@ def main():
     ap.add_argument("--n", type=int, default=None, help="particle count")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--scene", default="cube", choices=["none", "cube", "box"])
+    ap.add_argument(
+        "--scene", default="cube",
+        help="scenes/<name>.obj collision mesh, or 'none' (free space)",
+    )
     ap.add_argument("--impl", default="pallas", choices=["tiles", "pallas", "exact"])
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=96)

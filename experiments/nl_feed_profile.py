@@ -120,8 +120,9 @@ def gr_pos(c_pos, cand_p):
     return nl.gather_raw(c_pos, cand_p)
 
 
-raw_f = jax.block_until_ready(gr_force(c_force, cand_p))
-raw_p = jax.block_until_ready(gr_pos(c_pos, cand_p))
+if N <= 2_000_000:  # unchunked raw streams OOM at 4M
+    raw_f = jax.block_until_ready(gr_force(c_force, cand_p))
+    raw_p = jax.block_until_ready(gr_pos(c_pos, cand_p))
 
 
 @jax.jit
@@ -154,9 +155,10 @@ def refine_only(state_s, real):
 
 
 timeit("make packs (q+c, both passes)", mk_packs, state_s, real)
-timeit("take only (F=12 force pack)", take_only, c_force, cand_p)
-timeit("gather_raw force (F=12)", gr_force, c_force, cand_p)
-timeit("gather_raw pos (F=4)", gr_pos, c_pos, cand_p)
+if N <= 2_000_000:  # unchunked take: 9.7 GB at 4M
+    timeit("take only (F=12 force pack)", take_only, c_force, cand_p)
+    timeit("gather_raw force (F=12)", gr_force, c_force, cand_p)
+    timeit("gather_raw pos (F=4)", gr_pos, c_pos, cand_p)
 timeit("density gather+kernel", dens_kernel, q_pos, c_pos, cand_sub, count_sub,
        real)
 timeit("force gather+kernel", force_kernel, q_force, c_force, cand_sub,

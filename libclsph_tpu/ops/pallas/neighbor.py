@@ -70,6 +70,49 @@ def _query_chunk(nb: int, m: int) -> int:
 
 MAX_PARTICLES_F32_ID = 1 << 24  # ids stored exactly as f32 values
 
+# f32 emulation depth for the FORCE core's reduction dot. Mosaic
+# supports only DEFAULT (one bf16 pass — truncates the operands to
+# 8-bit mantissas, ~4e-3 relative error: fails the 1e-4 parity budget,
+# caught by test_tpu_smoke on the chip) and HIGHEST (6-pass full f32).
+# "split3" emulates the missing middle tier: operands are split
+# in-kernel as f32 = hi(bf16) + lo and three DEFAULT passes
+# (hi.hi + hi.lo + lo.hi) reconstruct ~2^-18 term accuracy at half
+# HIGHEST's MXU cost — but the force combine's x_i*sum(a) - sum(a x_j)
+# cancellation amplifies that by (block extent)/h, so split3 force
+# errors reach ~1e-4 relative: an opt-in trade, not the default.
+# (The DENSITY dot always uses a 2-pass split: its sum has no
+# cancellation, so 2^-18 term error is unconditionally safe.)
+_DOT_MODE = os.environ.get("LIBCLSPH_TPU_DOT_MODE", "highest")
+
+
+def _reduce_dot(lhs, rhs, dims, lhs_exact=False, mode=None):
+    """f32-accurate dot_general (see _DOT_MODE note above).
+    ``lhs_exact``: lhs is bf16-representable (e.g. ones), so its lo
+    half is zero and the split needs only two passes."""
+    mode = _DOT_MODE if mode is None else mode
+    if mode == "highest":
+        return jax.lax.dot_general(
+            lhs, rhs, dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if mode == "default":  # experiment only: breaks 1e-4 parity
+        return jax.lax.dot_general(
+            lhs, rhs, dims, preferred_element_type=jnp.float32
+        )
+    d = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    rhi = rhs.astype(jnp.bfloat16).astype(jnp.float32)
+    rlo = rhs - rhi
+    if lhs_exact:
+        return d(lhs, rhi) + d(lhs, rlo)
+    lhi = lhs.astype(jnp.bfloat16).astype(jnp.float32)
+    llo = lhs - lhi
+    return d(lhi, rhi) + (d(lhi, rlo) + d(llo, rhi))
+
 
 class PlanePack(NamedTuple):
     """Packed kernel operands (see module docstring for layouts)."""
@@ -417,9 +460,8 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False):
         t = jnp.maximum(h2 - r2, 0.0)  # the r<h cutoff clamp
         w = (poly6 * row(3)) * (t * t * t)  # (B, B)
         ones = jnp.ones_like(row(0))
-        res = jax.lax.dot_general(
-            ones, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        res = _reduce_dot(
+            ones, w, (((1,), (1,)), ((), ())), lhs_exact=True, mode="split3"
         )  # (1, B)
         out[0, 0:1, :] += res
 
@@ -482,21 +524,33 @@ def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
         b = a_reg.shape[0]
         lhs = jnp.concatenate([a_reg, b_mat, g_mat, l_mat, sing], axis=0)
         ones = jnp.ones_like(row(_CX))
+        # Tile-centred coordinates/velocities: the x_i sum(a) - sum(a x_j)
+        # identity below is exact under any shift c, but its FLOAT error
+        # scales with |x - c| (the two large terms cancel to an O(h)
+        # difference). Centring on the query block's first particle
+        # keeps |x - c| at block scale, which the split3 _reduce_dot
+        # needs to stay inside the parity budget (uncentred, its 2^-18
+        # term error is amplified by |x|/h — measured 5e-3 absolute on
+        # accel at domain scale).
+        c0 = [qrow[0, k, 0] for k in range(6)]
         rhs = jnp.concatenate(
-            [row(_CX), row(_CY), row(_CZ),
-             row(_CVX), row(_CVY), row(_CVZ), ones], axis=0)  # (7, B)
-        res = jax.lax.dot_general(
-            rhs, lhs, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            [row(_CX) - c0[0], row(_CY) - c0[1], row(_CZ) - c0[2],
+             row(_CVX) - c0[3], row(_CVY) - c0[4], row(_CVZ) - c0[5],
+             ones], axis=0)  # (7, B)
+        res = _reduce_dot(
+            rhs, lhs, (((1,), (1,)), ((), ()))
         )  # (7, 5B) lane-major: [sum(M cx), .., sum(M cv), sum(M)]
         ra = res[:, 0:b]
         rb = res[:, b : 2 * b]
         rg = res[:, 2 * b : 3 * b]
         rl = res[:, 3 * b : 4 * b]
         rs = res[:, 4 * b : 5 * b]
-        qx, qy, qz = qrow[0, 0:1], qrow[0, 1:2], qrow[0, 2:3]  # (1, B)
-        qvx, qvy, qvz = qrow[0, 3:4], qrow[0, 4:5], qrow[0, 5:6]
+        qx = qrow[0, 0:1] - c0[0]  # (1, B), tile-centred
+        qy = qrow[0, 1:2] - c0[1]
+        qz = qrow[0, 2:3] - c0[2]
+        qvx = qrow[0, 3:4] - c0[3]
+        qvy = qrow[0, 4:5] - c0[4]
+        qvz = qrow[0, 5:6] - c0[5]
         sum_a, sum_b, sum_g = ra[6:7], rb[6:7], rg[6:7]
         sum_l, sum_sing = rl[6:7], rs[6:7]
         # sum_j a_ij (x_i - x_j) = x_i sum(a) - sum(a x_j); the
