@@ -20,6 +20,8 @@ from libclsph_tpu.ops import tiles as tiles_ops
 from libclsph_tpu.ops.pallas import neighbor_nl as nl
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+SCENE = sys.argv[2] if len(sys.argv) > 2 else None  # e.g. 'cube'
+WARM = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 MAXSUB = 192
 
 fluid = dict(fluid_density=998.29, dynamic_viscosity=3.5, restitution=0, k=100,
@@ -33,11 +35,20 @@ terms = params.precomputed()
 cfg = StepConfig(neighbor_impl="pallas", pallas_variant="nl",
                  max_candidates=96, max_candidates_sub=MAXSUB)
 
+scene_dev = None
+if SCENE:
+    from libclsph_tpu.ops import collisions as collisions_ops
+    from libclsph_tpu.scene.scene import Scene
+
+    scene_dev = collisions_ops.build_device_scene(
+        Scene.load(SCENE + ".obj", params.h * 2, scenes_dir="scenes")
+    )
+
 state = init_state(params)
 dt = jnp.float32(params.max_dt)
-for _i in range(3):
-    state, dt, ovf = substep_jit(state, dt, params, None, cfg)
-print("warm flags:", int(ovf), file=sys.stderr)
+for _i in range(WARM):
+    state, dt, ovf = substep_jit(state, dt, params, scene_dev, cfg)
+print("warm flags:", int(ovf), "dt:", float(dt), file=sys.stderr)
 
 
 @jax.jit
@@ -165,5 +176,5 @@ timeit("force gather+kernel", force_kernel, q_force, c_force, cand_sub,
        count_sub, real, state_s.density)
 timeit("cand+refine (from state)", refine_only, state_s, real)
 timeit("FULL density+forces nl", full_nl, state_s, real)
-timeit("FULL substep", lambda s, d: substep_jit(s, d, params, None, cfg)[0],
+timeit("FULL substep", lambda s, d: substep_jit(s, d, params, scene_dev, cfg)[0],
        state, dt)

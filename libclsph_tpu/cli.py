@@ -46,7 +46,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--tile-mode", choices=["direct", "mxu"], default="direct")
     ap.add_argument(
         "--pallas-variant", choices=["nl", "asm", "row", "fine", "asym"],
-        default="asm", help="pallas kernel family (asm = in-kernel assembly)",
+        default="nl",
+        help="pallas kernel family (nl = gathered subblock lists, the "
+        "fastest measured at 64k-4M; asm = in-kernel assembly)",
     )
     ap.add_argument("--nl-query-rows", type=int, default=128)
     ap.add_argument("--max-candidates-sub", type=int, default=192)

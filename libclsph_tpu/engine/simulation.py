@@ -331,14 +331,23 @@ class SPHSimulation:
                     state = self._upload(arrays)
 
             if fast_path:
-                # whole frame on device — one dispatch; one scalar
-                # (the capacity flag) read back per frame
+                # whole frame on device — substeps_per_dispatch steps
+                # per dispatch (bounded against dt-floor blowups); one
+                # scalar (timeleft) read back per dispatch
                 while True:
-                    new_state, new_dt, flags = frame_jit(
-                        state, dt, p, self.device_scene, self.step_config
-                    )
-                    if not self._needs_rerun(flags):
-                        state, dt = new_state, new_dt
+                    st_try, dt_try = state, dt
+                    timeleft = jnp.float32(p.frame_time)
+                    rerun = False
+                    while float(timeleft) > 0.0:
+                        st_try, dt_try, timeleft, flags = frame_jit(
+                            st_try, dt_try, timeleft, p,
+                            self.device_scene, self.step_config,
+                        )
+                        if self._needs_rerun(flags):
+                            rerun = True
+                            break
+                    if not rerun:
+                        state, dt = st_try, dt_try
                         break
                 arrays = None
             else:

@@ -70,6 +70,13 @@ class StepConfig:
     # 6 passes; +~60 ms/substep at 1M); kept as a documented variant.
     pair_r2: str = "vpu"
     adaptive_dt: bool = True
+    # frame_jit dispatch bound: a stiff impact can floor the adaptive
+    # dt at DT_MIN (1e-5 s), blowing a frame up to ~1.7k substeps — an
+    # unbounded single dispatch runs for many minutes and device
+    # runtimes (notably tunneled ones) kill it as hung. The engine
+    # loops frame_jit until the frame's time budget is spent, at most
+    # this many substeps per dispatch.
+    substeps_per_dispatch: int = 64
 
     def tile_config(self) -> tiles_ops.TileConfig:
         return tiles_ops.TileConfig(
@@ -446,28 +453,30 @@ def substep_jit(state, dt, params, scene, config):
 
 
 @partial(jax.jit, static_argnames=("params", "config"))
-def frame_jit(state, dt, params, scene, config):
-    """A whole frame's substep loop on device (sph_simulation.cpp:384-409).
+def frame_jit(state, dt, timeleft, params, scene, config):
+    """A frame's substep loop on device (sph_simulation.cpp:384-409).
 
-    Carries (state, dt, timeleft, flags); loops until the frame time
-    budget is exhausted, clamping dt to timeleft exactly like the host
-    loop (:391-394). Returns (state, dt, flags) ready for the next
-    frame; ``flags`` ORs the per-substep status bitfields.
+    Carries (state, dt, timeleft, flags, n); loops until the frame time
+    budget is exhausted OR config.substeps_per_dispatch substeps ran
+    (bounding the dispatch — see StepConfig), clamping dt to timeleft
+    exactly like the host loop (:391-394). Returns (state, dt,
+    timeleft, flags); the engine re-dispatches while timeleft > 0.
+    ``flags`` ORs the per-substep status bitfields.
     """
-    timeperframe = jnp.float32(params.frame_time)
+    cap = jnp.int32(config.substeps_per_dispatch)
 
     def cond(carry):
-        _, _, timeleft, _ = carry
-        return timeleft > 0.0
+        _, _, timeleft, _, n = carry
+        return (timeleft > 0.0) & (n < cap)
 
     def body(carry):
-        st, dt_cur, timeleft, flags = carry
+        st, dt_cur, timeleft, flags, n = carry
         st, dt_next, step_flags = substep(st, dt_cur, params, scene, config)
         timeleft = timeleft - dt_next
         dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)
-        return st, dt_next, timeleft, flags | step_flags
+        return st, dt_next, timeleft, flags | step_flags, n + 1
 
-    state, dt, _, flags = jax.lax.while_loop(
-        cond, body, (state, dt, timeperframe, jnp.int32(0))
+    state, dt, timeleft, flags, _ = jax.lax.while_loop(
+        cond, body, (state, dt, timeleft, jnp.int32(0), jnp.int32(0))
     )
-    return state, dt, flags
+    return state, dt, timeleft, flags

@@ -176,12 +176,18 @@ def _q_spec(f, b):
     return pl.BlockSpec((1, f, b, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0))
 
 
-def _c_spec_k(f, b, cpg, k, q_div=1):
+def _c_spec_k(f, b, cpg, k, nc_last, q_div=1):
     """Candidate spec for slot m*cpg + k (multi-candidate grid steps).
-    With q_div > 1, query block i uses its parent block's candidates."""
+    With q_div > 1, query block i uses its parent block's candidates.
+    Dead candidate slots may hold tiles.REFINE_SENTINEL (the
+    hierarchical search's sort-compaction sentinel) — clamp the DMA
+    index to the last block (its data is never used: the kernels skip
+    compute for slots >= count)."""
     return pl.BlockSpec(
         (1, f, b),
-        lambda i, m_, cand_, count_: (cand_[i // q_div, m_ * cpg + k], 0, 0),
+        lambda i, m_, cand_, count_: (
+            jnp.minimum(cand_[i // q_div, m_ * cpg + k], nc_last), 0, 0
+        ),
     )
 
 
@@ -307,7 +313,10 @@ def fused_density(
             num_scalar_prefetch=2,
             grid=(chunk, mp // cpg),
             in_specs=[_q_spec(3, b_q)]
-            + [_c_spec_k(4, b, cpg, k, q_div) for k in range(cpg)],
+            + [
+                _c_spec_k(4, b, cpg, k, planes.c_pos.shape[0] - 1, q_div)
+                for k in range(cpg)
+            ],
             out_specs=pl.BlockSpec(
                 (1, b_q, 1), lambda i, m_, cand_, count_: (i, 0, 0)
             ),
@@ -644,7 +653,10 @@ def fused_forces(
             num_scalar_prefetch=2,
             grid=(chunk, mp // cpg),
             in_specs=[_q_spec(8, b_q)]
-            + [_c_spec_k(9, b, cpg, k, q_div) for k in range(cpg)],
+            + [
+                _c_spec_k(9, b, cpg, k, planes.c_force.shape[0] - 1, q_div)
+                for k in range(cpg)
+            ],
             out_specs=pl.BlockSpec(
                 (1, 10, b_q, 1), lambda i, m_, cand_, count_: (i, 0, 0, 0)
             ),

@@ -101,10 +101,14 @@ def _q_spec(f, b):
     return pl.BlockSpec((1, f, b), lambda i, m_, cand_, count_: (i, 0, 0))
 
 
-def _c_spec_k(f, s, cpg, k):
+def _c_spec_k(f, s, cpg, k, nc_last):
+    """Dead candidate slots may hold tiles.REFINE_SENTINEL — clamp the
+    DMA index (data unused: compute skips slots >= count)."""
     return pl.BlockSpec(
         (1, f, s, SUB, 1),
-        lambda i, m_, cand_, count_: (cand_[i, m_ * cpg + k], 0, 0, 0, 0),
+        lambda i, m_, cand_, count_: (
+            jnp.minimum(cand_[i, m_ * cpg + k], nc_last), 0, 0, 0, 0
+        ),
     )
 
 
@@ -179,7 +183,11 @@ def fused_density(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(chunk, mp // cpg),
-            in_specs=[_q_spec(3, b)] + [_c_spec_k(4, s, cpg, k) for k in range(cpg)],
+            in_specs=[_q_spec(3, b)]
+            + [
+                _c_spec_k(4, s, cpg, k, planes.c_pos.shape[0] - 1)
+                for k in range(cpg)
+            ],
             out_specs=pl.BlockSpec(
                 (1, 1, b), lambda i, m_, cand_, count_: (i, 0, 0)
             ),
@@ -321,7 +329,11 @@ def fused_forces(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(chunk, mp // cpg),
-            in_specs=[_q_spec(8, b)] + [_c_spec_k(9, s, cpg, k) for k in range(cpg)],
+            in_specs=[_q_spec(8, b)]
+            + [
+                _c_spec_k(9, s, cpg, k, planes.c_force.shape[0] - 1)
+                for k in range(cpg)
+            ],
             out_specs=pl.BlockSpec(
                 (1, 10, b), lambda i, m_, cand_, count_: (i, 0, 0)
             ),

@@ -51,7 +51,13 @@ SENTINEL_CODE = (1 << 30) - 1
 # than the physics, so a superblock prefilter takes over.
 HIERARCHICAL_THRESHOLD = 1024
 SUPER = 16  # blocks per superblock
-SUPER_CAND = 128  # padded candidate superblocks per superblock
+# padded candidate superblocks per superblock. Slab-shaped fluids
+# (river/labyrinth channels at 1M) measure sb_count up to ~141 — the
+# Morton curve over a high-aspect grid produces stringy superblock
+# runs whose split boxes overlap ~28% of all superblocks — so the
+# default sits above that; candidate_blocks_hierarchical clamps it to
+# nsb. Level 2 is chunked, so capacity costs memory only per chunk.
+SUPER_CAND = 192
 
 
 class TileConfig(NamedTuple):
@@ -246,6 +252,7 @@ def candidate_blocks_hierarchical(
                 & (sb_max[:, None, a, :] + h >= sb_min[None, :, c, :]),
                 axis=-1,
             )
+    super_cand = min(super_cand, nsb)  # counts cannot exceed nsb
     pos1 = jnp.cumsum(ov1.astype(jnp.int32), axis=1) - 1
     sb_count_sb = pos1[:, -1] + 1
     valid1 = ov1 & (pos1 < super_cand)
@@ -257,52 +264,22 @@ def candidate_blocks_hierarchical(
     sb_cand_sb = sb_cand_sb[:, :super_cand]  # (nsb, Msb)
     sb_overflow = jnp.any(sb_count_sb > super_cand)
 
-    # ---- level 2: precise split-AABB test over the shortlist.
-    # All gathers are at SUPERBLOCK granularity ((nsb, Msb) indices) —
-    # a per-block (nb, K) gather lowers to tens of GB on TPU.
-    k = super_cand * SUPER
-    # candidate member split boxes: (nsb, Msb, SUPER, 2, 3)
-    g_lo = jnp.take(mb_min, sb_cand_sb, axis=0)
-    g_hi = jnp.take(mb_max, sb_cand_sb, axis=0)
-    g_lo = g_lo.reshape(nsb, k, n_boxes, 3)
-    g_hi = g_hi.reshape(nsb, k, n_boxes, 3)
-    # query block split boxes grouped by superblock
-    q_lo = (bmin - h).reshape(nsb, SUPER, n_boxes, 3)
-    q_hi = (bmax + h).reshape(nsb, SUPER, n_boxes, 3)
-    ov2 = jnp.zeros((nsb, SUPER, k), bool)
-    for a in range(n_boxes):
-        for c in range(n_boxes):
-            ov2 = ov2 | jnp.all(
-                (q_lo[:, :, None, a, :] <= g_hi[:, None, :, c, :])
-                & (q_hi[:, :, None, a, :] >= g_lo[:, None, :, c, :]),
-                axis=-1,
-            )
-    live = (
-        jnp.arange(super_cand, dtype=jnp.int32)[None, :, None]
-        < sb_count_sb[:, None, None]
+    # ---- level 2: refine the superblock shortlists to block lists.
+    # Blocks-from-superblocks is the same refinement problem as
+    # subblocks-from-blocks, so it reuses refine_candidates and
+    # inherits its flat 128-lane box pack + chunking (the previous
+    # in-line version gathered (nsb, K, S, 3) boxes, which the (8,128)
+    # tiling pads ~32x — multi-GB transients that scaled with the
+    # capacity). Member boxes are per-block UNIONS (mem_lo/mem_hi);
+    # the query side keeps its split boxes.
+    cand_rep = jnp.repeat(sb_cand_sb, SUPER, axis=0)  # (nb, Msb)
+    count_rep = jnp.repeat(sb_count_sb, SUPER, axis=0)
+    cand, count, overflow = refine_candidates(
+        cand_rep, count_rep, bmin, bmax,
+        mem_lo.reshape(-1, 3), mem_hi.reshape(-1, 3),
+        h, SUPER, max_candidates,
     )
-    live = jnp.broadcast_to(live, (nsb, super_cand, SUPER)).reshape(nsb, 1, k)
-    shortlist = (
-        sb_cand_sb[:, :, None] * SUPER
-        + jnp.arange(SUPER, dtype=jnp.int32)[None, None, :]
-    ).reshape(nsb, 1, k)  # (nsb, 1, K) global block ids
-    qids = jnp.arange(nb, dtype=jnp.int32).reshape(nsb, SUPER, 1)
-    others = (ov2 & live & (shortlist != qids)).reshape(nb, k)
-    shortlist = jnp.broadcast_to(shortlist, (nsb, SUPER, k)).reshape(nb, k)
-    # sort-based compaction (cheaper than a (nb, K) scatter on TPU):
-    # matching entries keep their block index, the rest go to +inf-ish,
-    # and an ascending row sort packs matches to the front.
-    sentinel = jnp.int32(2**30)
-    keys = jnp.where(others, shortlist, sentinel)
-    packed = jnp.sort(keys, axis=1)[:, : max_candidates - 1]
-    n_others = jnp.sum(others, axis=1)
-    row_count = n_others + 1  # + the self slot
-    cand = jnp.concatenate(
-        [jnp.arange(nb, dtype=jnp.int32)[:, None], packed], axis=1
-    )
-    count = jnp.minimum(row_count, max_candidates)
-    overflow = jnp.any(row_count > max_candidates) | sb_overflow
-    return cand, count, overflow
+    return cand, count, overflow | sb_overflow
 
 
 def subblock_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray, sub: int):

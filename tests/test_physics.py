@@ -266,8 +266,13 @@ class TestInvariants:
 
 class TestHierarchicalCandidates:
     def test_matches_dense(self, rng):
-        """Two-level candidate search finds exactly the same candidate
-        sets as the dense search (as sets; slot order may differ)."""
+        """Two-level candidate search covers the dense search's
+        candidate sets. Since its level 2 tests member-UNION boxes
+        (the flat 128-lane refine pack holds one lo/hi per member
+        block, not the 4 split boxes), it may add a few conservative
+        extras — supersets never change the physics (kernel cutoffs
+        zero them, and the subblock refine stage prunes most before
+        the kernels); the inflation must stay small."""
         from libclsph_tpu.ops import tiles as T
         from libclsph_tpu.core.state import init_state
 
@@ -290,10 +295,13 @@ class TestHierarchicalCandidates:
         )
         assert not bool(ovf_d) and not bool(ovf_h)
         nb = bmin.shape[0]
+        extras = 0
         for i in range(nb):
             sd = set(np.asarray(cand_d[i, : int(count_d[i])]).tolist())
             sh = set(np.asarray(cand_h[i, : int(count_h[i])]).tolist())
-            assert sd == sh, (i, sd ^ sh)
+            assert sd <= sh, (i, sd - sh)  # never misses a candidate
+            extras += len(sh - sd)
+        assert extras <= 0.3 * int(np.sum(np.asarray(count_d))), extras
 
 
 class TestDiagnostics:
