@@ -87,15 +87,18 @@ def counts_probe(state):
 
 
 for s in range(STEPS):
-    cm, cmean, sm, smean, o1, o2, ext, gs = [
-        np.asarray(x) for x in counts_probe(state)
-    ]
-    pp = np.asarray(state.position)
-    print(f"step {s}: blockmax {cm} mean {cmean:.1f} submax {sm} "
-          f"submean {smean:.1f} ovf {o1}/{o2} maxblockext {ext.round(3)} "
-          f"grid {gs} pos x[{pp[:,0].min():.2f},{pp[:,0].max():.2f}] "
-          f"y[{pp[:,1].min():.2f},{pp[:,1].max():.2f}]", flush=True)
+    if s % 4 == 0:
+        cm, cmean, sm, smean, o1, o2, ext, gs = [
+            np.asarray(x) for x in counts_probe(state)
+        ]
+        pp = np.asarray(state.position)
+        vv = np.asarray(state.velocity)
+        rho = np.asarray(state.density)
+        print(f"step {s}: blockmax {cm} mean {cmean:.1f} submax {sm} "
+              f"submean {smean:.1f} ovf {o1}/{o2} dt {float(dt):.6f} "
+              f"maxv {np.abs(vv).max():.2f} maxrho {rho.max():.0f} "
+              f"y[{pp[:,1].min():.2f},{pp[:,1].max():.2f}]", flush=True)
     state, dt, flags = substep_jit(state, dt, p, sdev, cfg)
     f = int(flags)
     if f:
-        print("FLAGS:", f, flush=True)
+        print(f"FLAGS at step {s}:", f, flush=True)

@@ -23,39 +23,83 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-# scene-interior lattice boxes (x/z extent fraction of scene bbox, y0).
-# y0 sits just above the bed: dropping 1M particles from height floors
-# the adaptive dt at DT_MIN on impact (~1.7k substeps/frame) — valid
-# physics but not a throughput workload.
+# scene-interior lattice footprints (x/z extent fraction of the scene
+# bbox) and per-scene particle-mass overrides. Placement is
+# TERRAIN-AWARE: particles stack upward from the scene's support
+# surface under each (x, z) column (ray-cast against the mesh), never
+# intersecting geometry — a flat slab embeds inside sloped floors /
+# interior baffles and the DF response ejects embedded particles at
+# O(100 m/s), exploding the dynamics instantly (measured).
+# River mass: the sloped channel holds ~1.2 m of fluid above the
+# floor; default 0.05 kg/particle at 1M is 52.5 m^3, which physically
+# overflows it — 0.025 kg keeps the free surface below the wall tops.
 PLACEMENTS = {
-    "river": dict(frac=(0.92, 0.8), y0=-1.45),
-    "labyrinth": dict(frac=(0.9, 0.9), y0=-1.45),
-    "box": dict(frac=(0.8, 0.8), y0=-1.45),
+    "river": dict(frac=(0.92, 0.8), mass=0.025),
+    "labyrinth": dict(frac=(0.9, 0.9)),
+    "box": dict(frac=(0.8, 0.8)),
     "cube": None,
-    "monkeybox": dict(frac=(0.8, 0.8), y0=0.5),
+    "monkeybox": dict(frac=(0.8, 0.8)),
 }
+CLEARANCE = 0.04  # gap between the support surface and the first layer
 
 
-def scene_bbox(path):
-    vs = []
+def load_tris(path):
+    vs, fs = [], []
     for line in open(path):
         if line.startswith("v "):
             vs.append([float(x) for x in line.split()[1:4]])
-    a = np.array(vs, np.float32)
-    return a.min(0), a.max(0)
+        elif line.startswith("f "):
+            fs.append([int(t.split("/")[0]) - 1 for t in line.split()[1:4]])
+    v = np.array(vs, np.float32)
+    return v, v[np.array(fs, np.int32)]  # (F, 3, 3)
 
 
-def lattice_in_box(n, volume, lo, hi):
-    """n particles at rest spacing (total volume fixed) filling the
-    footprint [lo, hi] in x/z upward from lo.y, x-fastest ordering."""
+def support_height(tris, xs, zs, default):
+    """Highest mesh surface under each (x, z) column (vertical
+    ray-cast, vectorised over faces); ``default`` where nothing is hit."""
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    # 2D barycentric in the x-z projection
+    v0 = (b - a)[:, [0, 2]]
+    v1 = (c - a)[:, [0, 2]]
+    den = v0[:, 0] * v1[:, 1] - v0[:, 1] * v1[:, 0]  # (F,)
+    ok_f = np.abs(den) > 1e-9  # skip vertical faces
+    sup = np.full((len(xs),), default, np.float32)
+    p = np.stack([xs, zs], axis=1)  # (C, 2)
+    for f in np.nonzero(ok_f)[0]:
+        d = p - a[f, [0, 2]]
+        u = (d[:, 0] * v1[f, 1] - d[:, 1] * v1[f, 0]) / den[f]
+        w = (v0[f, 0] * d[:, 1] - v0[f, 1] * d[:, 0]) / den[f]
+        inside = (u >= -1e-6) & (w >= -1e-6) & (u + w <= 1 + 1e-6)
+        y = a[f, 1] + u * (b[f, 1] - a[f, 1]) + w * (c[f, 1] - a[f, 1])
+        sup = np.where(inside & (y > sup), y, sup)
+    return sup
+
+
+def terrain_lattice(n, volume, scene_path, frac):
+    """n particles at rest spacing stacked on the scene's support
+    surface: per-(x,z) column base from a vertical ray-cast, filled
+    bottom-up layer by layer."""
     dx = float(np.cbrt(volume / n))  # rest spacing
-    nx = max(1, int((hi[0] - lo[0]) / dx))
-    nz = max(1, int((hi[2] - lo[2]) / dx))
-    i = np.arange(n)
-    x = (i % nx) * dx + lo[0]
-    z = ((i // nx) % nz) * dx + lo[2]
-    y = (i // (nx * nz)) * dx + lo[1]
-    return np.stack([x, y, z], axis=1).astype(np.float32)
+    verts, tris = load_tris(scene_path)
+    lo, hi = verts.min(0), verts.max(0)
+    fx, fz = frac
+    cx, cz = (lo[0] + hi[0]) / 2, (lo[2] + hi[2]) / 2
+    x0, x1 = cx - fx * (hi[0] - lo[0]) / 2, cx + fx * (hi[0] - lo[0]) / 2
+    z0, z1 = cz - fz * (hi[2] - lo[2]) / 2, cz + fz * (hi[2] - lo[2]) / 2
+    nx = max(1, int((x1 - x0) / dx))
+    nz = max(1, int((z1 - z0) / dx))
+    gx = x0 + np.arange(nx) * dx
+    gz = z0 + np.arange(nz) * dx
+    cols_x = np.repeat(gx, nz)
+    cols_z = np.tile(gz, nx)
+    base = support_height(tris, cols_x, cols_z, lo[1]) + CLEARANCE
+    layers = -(-n // (nx * nz))
+    k = np.arange(layers)
+    y = base[None, :] + k[:, None] * dx  # (layers, C)
+    x = np.broadcast_to(cols_x, y.shape)
+    z = np.broadcast_to(cols_z, y.shape)
+    pos = np.stack([x, y, z], axis=-1).reshape(-1, 3)[:n]
+    return pos.astype(np.float32)
 
 
 def main():
@@ -87,10 +131,13 @@ def main():
         max_candidates_sub=args.max_candidates_sub,
     )
     sim = SPHSimulation(step_config=cfg)
+    placement = PLACEMENTS.get(args.scene)
+    mass = (placement or {}).get("mass", 0.05)
     p = derive_parameters(
         dict(FLUIDS[args.fluid]),
         simulation_config(
             particles_count=args.n,
+            particle_mass=mass,
             simulation_time=args.frames / 60.0,
         ),
     )
@@ -100,21 +147,14 @@ def main():
     sim.checkpoint_path = "/tmp/scene_run_nonexistent.npz"  # no resume
     sim.load_scene(args.scene + ".obj", scenes_dir="scenes")
 
-    placement = PLACEMENTS.get(args.scene)
     if placement is not None:
-        lo, hi = scene_bbox(f"scenes/{args.scene}.obj")
-        fx, fz = placement["frac"]
-        cx, cz = (lo[0] + hi[0]) / 2, (lo[2] + hi[2]) / 2
-        lo_box = np.array(
-            [cx - fx * (hi[0] - lo[0]) / 2, placement["y0"], cz - fz * (hi[2] - lo[2]) / 2]
+        pos = terrain_lattice(
+            args.n, p.initial_volume, f"scenes/{args.scene}.obj",
+            placement["frac"],
         )
-        hi_box = np.array(
-            [cx + fx * (hi[0] - lo[0]) / 2, hi[1], cz + fz * (hi[2] - lo[2]) / 2]
-        )
-        pos = lattice_in_box(args.n, p.initial_volume, lo_box, hi_box)
         print(
-            f"lattice: {args.n} particles in [{lo_box.round(2)}..{hi_box.round(2)}] "
-            f"top y={pos[:,1].max():.2f}",
+            f"lattice: {args.n} particles on terrain, mass {mass}, "
+            f"y [{pos[:,1].min():.2f}, {pos[:,1].max():.2f}]",
             file=sys.stderr,
         )
         n = args.n
