@@ -37,6 +37,15 @@ class HoudiniFileSaver:
         self.frames_folder_prefix = frames_folder_prefix
         self.frame_count = 0
         self.use_partio = use_partio
+        if not use_partio and not geo_format.have_native():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                ".geo export using the pure-NumPy serializer — ~10x "
+                "slower and it gates the frame loop via the async "
+                "saver's join. Build the C extension: "
+                "python native/setup.py build_ext --inplace"
+            )
 
     def write_frame_to_file(
         self, arrays: dict, parameters: SimulationParameters
