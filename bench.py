@@ -111,9 +111,12 @@ def main():
 
     t0 = time.perf_counter()
     for _ in range(4):
-        s_try, d_try, overflow = state, dt, None
+        s_try, d_try = state, dt
+        overflow = jnp.int32(0)
         for _ in range(args.warmup):
-            s_try, d_try, overflow = substep_jit(s_try, d_try, params, scene_dev, cfg)
+            s_try, d_try, flags = substep_jit(s_try, d_try, params, scene_dev, cfg)
+            overflow = overflow | flags  # OR across substeps: a NaN'd
+            # state stops overflowing, masking an early truncation
         jax.block_until_ready(s_try.position)
         if not bool(overflow):
             break

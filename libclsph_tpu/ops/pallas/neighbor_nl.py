@@ -449,7 +449,11 @@ def _combine_forces(sums, params, real_flat, density):
     norm = jnp.stack([flat(_ONX), flat(_ONY), flat(_ONZ)], axis=1)
     lap = flat(_OLAP)
 
-    rho = density
+    # rho == 0 can only happen when a capacity truncation dropped a
+    # particle's own subblock (the step flags it and the engine
+    # re-runs); guard the division so the flagged state stays finite
+    # instead of NaN-poisoning downstream reductions
+    rho = jnp.where(density > 0, density, 1.0)
     total = -rho[:, None] * press + visct * params.dynamic_viscosity
     nlen = jnp.linalg.norm(norm, axis=-1, keepdims=True)
     apply_st = nlen > params.surface_tension_threshold

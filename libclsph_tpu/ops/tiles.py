@@ -214,55 +214,64 @@ def candidate_blocks_hierarchical(
     nsb = nb // SUPER
     n_boxes = bmin.shape[1]
 
-    # Superblock AABBs, split at the largest inter-member gap: like
-    # blocks (split_block_bounds), superblocks straddle Morton jumps,
-    # and an un-split union box overlaps ~4x more superblocks than the
-    # particles do (measured mean 49 / max 215 vs ~10 real at 1M).
+    # Superblock AABBs, split at the largest inter-member gaps: like
+    # blocks (split_block_bounds), superblocks straddle Morton jumps —
+    # on non-power-of-two grids a contiguous code range crosses
+    # unoccupied code gaps, so runs are stringy/sheety and un-split
+    # union boxes overlap far more superblocks than the particles do
+    # (at 4M: 2-box splits still overflowed a 192 cap). 4 boxes at the
+    # top-3 member-centre gaps keep the level-1 count bounded.
     mb_min = bmin.reshape(nsb, SUPER, n_boxes, 3)
     mb_max = bmax.reshape(nsb, SUPER, n_boxes, 3)
     mem_lo = jnp.min(mb_min, axis=2)  # (nsb, SUPER, 3) member boxes
     mem_hi = jnp.max(mb_max, axis=2)
     centers = 0.5 * (mem_lo + mem_hi)
     gap = jnp.linalg.norm(centers[:, 1:] - centers[:, :-1], axis=-1)
-    split = jnp.argmax(gap, axis=1) + 1  # (nsb,)
-    mem_idx = jnp.arange(SUPER)[None, :]
+    sb_split = 4
+    _, top_idx = jax.lax.top_k(gap, sb_split - 1)  # (nsb, 3)
+    splits = jnp.sort(top_idx + 1, axis=1)
+    mem_idx = jnp.arange(SUPER, dtype=jnp.int32)[None, :]
+    seg = jnp.sum(
+        mem_idx[:, :, None] >= splits[:, None, :], axis=-1
+    )  # (nsb, SUPER) segment id
     big = jnp.float32(3.0e38)
-
-    def sb_box(mask):
-        m = mask[..., None]
-        return (
-            jnp.min(jnp.where(m, mem_lo, big), axis=1),
-            jnp.max(jnp.where(m, mem_hi, -big), axis=1),
-        )
-
-    lo1, hi1 = sb_box(mem_idx < split[:, None])
-    lo2, hi2 = sb_box(mem_idx >= split[:, None])
-    sb_min = jnp.stack([lo1, lo2], axis=1)  # (nsb, 2, 3)
-    sb_max = jnp.stack([hi1, hi2], axis=1)
+    sb_lo_boxes, sb_hi_boxes = [], []
+    for g in range(sb_split):
+        m = (seg == g)[..., None]
+        sb_lo_boxes.append(jnp.min(jnp.where(m, mem_lo, big), axis=1))
+        sb_hi_boxes.append(jnp.max(jnp.where(m, mem_hi, -big), axis=1))
+    sb_min = jnp.stack(sb_lo_boxes, axis=1)  # (nsb, sb_split, 3)
+    sb_max = jnp.stack(sb_hi_boxes, axis=1)
 
     # ---- level 1: superblock x superblock (tiny nsb^2 matrix); every
-    # block of a query superblock inherits its candidate-superblock list
-    lo = bmin - h  # (nb, 2, 3)
-    hi = bmax + h
+    # block of a query superblock inherits its candidate-superblock
+    # list. The OWN superblock takes slot 0 unconditionally (like
+    # candidate_blocks' self slot): a truncated list must never drop a
+    # block's self-interaction — at 4M that zeroed densities and
+    # NaN'd the force combine's 1/rho.
     ov1 = jnp.zeros((nsb, nsb), bool)
-    for a in range(2):
-        for c in range(2):
+    for a in range(sb_split):
+        for c in range(sb_split):
             ov1 = ov1 | jnp.all(
                 (sb_min[:, None, a, :] - h <= sb_max[None, :, c, :])
                 & (sb_max[:, None, a, :] + h >= sb_min[None, :, c, :]),
                 axis=-1,
             )
     super_cand = min(super_cand, nsb)  # counts cannot exceed nsb
-    pos1 = jnp.cumsum(ov1.astype(jnp.int32), axis=1) - 1
-    sb_count_sb = pos1[:, -1] + 1
-    valid1 = ov1 & (pos1 < super_cand)
+    sb_ids = jnp.arange(nsb, dtype=jnp.int32)
+    others1 = ov1 & (sb_ids[None, :] != sb_ids[:, None])
+    pos1 = jnp.cumsum(others1.astype(jnp.int32), axis=1)  # 1-based
+    row_count1 = pos1[:, -1] + 1  # + self
+    valid1 = others1 & (pos1 < super_cand)
     slot1 = jnp.where(valid1, pos1, super_cand)
-    rows1 = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32)[:, None], (nsb, nsb))
-    cols1 = jnp.broadcast_to(jnp.arange(nsb, dtype=jnp.int32)[None, :], (nsb, nsb))
+    rows1 = jnp.broadcast_to(sb_ids[:, None], (nsb, nsb))
+    cols1 = jnp.broadcast_to(sb_ids[None, :], (nsb, nsb))
     sb_cand_sb = jnp.zeros((nsb, super_cand + 1), jnp.int32)
+    sb_cand_sb = sb_cand_sb.at[:, 0].set(sb_ids)
     sb_cand_sb = sb_cand_sb.at[rows1, slot1].set(cols1, mode="drop")
     sb_cand_sb = sb_cand_sb[:, :super_cand]  # (nsb, Msb)
-    sb_overflow = jnp.any(sb_count_sb > super_cand)
+    sb_count_sb = jnp.minimum(row_count1, super_cand)
+    sb_overflow = jnp.any(row_count1 > super_cand)
 
     # ---- level 2: refine the superblock shortlists to block lists.
     # Blocks-from-superblocks is the same refinement problem as
