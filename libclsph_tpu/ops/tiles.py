@@ -434,13 +434,19 @@ def refine_candidates(
 def candidate_blocks_auto(bmin, bmax, h, max_candidates):
     """Pick the dense or hierarchical search by problem size.
 
-    The level-1 superblock cap scales with max_candidates so the
-    engine's capacity autotune (which doubles max_candidates on
-    overflow) also relieves level-1 overflow.
+    The level-1 superblock cap scales with max_candidates (so the
+    engine's capacity autotune also relieves level-1 overflow) AND
+    with nsb/3: a handful of superblocks are Morton "sheet runs"
+    (gapless snakes over 2D cell sheets on non-power-of-two grids —
+    splitting can't shrink them) whose counts grow with the superblock
+    total: measured max 162/340/467 at nsb 512/1024/2048 on cube
+    lattices. Level 2 is chunked, so the bigger cap costs level-2
+    test volume (~linear in the cap), not peak memory.
     """
     nb = bmin.shape[0]
     if nb > HIERARCHICAL_THRESHOLD and nb % SUPER == 0:
-        super_cand = max(SUPER_CAND, max_candidates)
+        nsb = nb // SUPER
+        super_cand = max(SUPER_CAND, max_candidates, -(-nsb // 3))
         return candidate_blocks_hierarchical(
             bmin, bmax, h, max_candidates, super_cand=super_cand
         )
