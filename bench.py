@@ -27,18 +27,10 @@ import numpy as np
 NORTH_STAR_PER_CHIP = 100e6 / 8  # BASELINE.json: 100M p-steps/s on v5e-8
 
 
-def build_params(n: int):
+def build_params(n: int, fluid_name: str = "water"):
     from libclsph_tpu.core.params import derive_parameters
+    from libclsph_tpu.models.presets import FLUIDS
 
-    fluid = dict(
-        fluid_density=998.29,
-        dynamic_viscosity=3.5,
-        restitution=0,
-        k=100,
-        surface_tension_threshold=7.065,
-        surface_tension=0.0728,
-        particles_inside_influence_radius=20,
-    )
     sim = dict(
         particles_count=n,
         particle_mass=0.05,
@@ -47,7 +39,7 @@ def build_params(n: int):
         simulation_scale=0.1,
         constant_acceleration=dict(x=0, y=-9.8, z=0),
     )
-    return derive_parameters(fluid, sim)
+    return derive_parameters(dict(FLUIDS[fluid_name]), sim)
 
 
 def main():
@@ -59,6 +51,7 @@ def main():
         "--scene", default="cube",
         help="scenes/<name>.obj collision mesh, or 'none' (free space)",
     )
+    ap.add_argument("--fluid", default="water", choices=["water", "mucus"])
     ap.add_argument("--impl", default="pallas", choices=["tiles", "pallas", "exact"])
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--max-candidates", type=int, default=96)
@@ -80,7 +73,7 @@ def main():
     from libclsph_tpu.ops import collisions as collisions_ops
     from libclsph_tpu.scene.scene import Scene
 
-    params = build_params(n)
+    params = build_params(n, args.fluid)
     cfg = StepConfig(
         neighbor_impl=args.impl,
         block_size=args.block_size,
@@ -138,7 +131,10 @@ def main():
     steps_per_s = args.steps / elapsed
     psteps = n * steps_per_s
     result = {
-        "metric": f"particle-steps/sec water dam-break @ {n} particles ({platform})",
+        "metric": (
+            f"particle-steps/sec {args.fluid} dam-break @ {n} particles"
+            f" ({platform})"
+        ),
         "value": round(psteps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(psteps / NORTH_STAR_PER_CHIP, 4),
