@@ -63,6 +63,12 @@ class StepConfig:
     # refined candidate volume (~35% fewer pair tests at 32 vs 128 on
     # a settled 262k cloud) at the cost of more grid steps.
     nl_query_rows: int = 128
+    # nl/asm subblock refinement test. 'exact' (default): candidate
+    # block PARTICLES vs dilated 32-row query boxes
+    # (tiles.refine_candidates_exact) — kills the candidate-side AABB
+    # slack, ~45% less pair volume at 1M for ~10 ms of XLA prefilter.
+    # 'aabb': the round-2 subblock-AABB overlap test.
+    refine_mode: str = "exact"
     # nl/asm pair-distance path. 'vpu' (default): elementwise
     # dx^2+dy^2+dz^2. 'mxu': one K=5 dot on the matrix unit from
     # domain-centred coordinates — measured SLOWER on v5e (the MXU is
@@ -255,22 +261,50 @@ def _density_forces_pallas_nl(
         bmin, bmax, params.h, cfg.max_candidates
     )
     sub = cfg.block_size // nl.SUB
-    sub_lo, sub_hi = tiles_ops.subblock_bounds(blocked.position, blocked.real, sub)
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
     if q_rep > 1:
-        # finer query boxes; each child block reuses its parent's
-        # coarse candidate list (row repeat)
-        qlo, qhi = tiles_ops.subblock_bounds(blocked.position, blocked.real, q_rep)
-        qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+        # finer query candidate lists; each child block reuses its
+        # parent's coarse candidate list (row repeat)
         cand_q = jnp.repeat(cand, q_rep, axis=0)
         count_q = jnp.repeat(count, q_rep, axis=0)
     else:
-        qlo, qhi, cand_q, count_q = bmin, bmax, cand, count
-    cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
-        cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
-        config.max_candidates_sub,
-    )
+        cand_q, count_q = cand, count
+    if config.refine_mode == "exact":
+        # gap-split query boxes (the bmin/bmax already computed for the
+        # block search): measured at 1M vs contiguous 32-row sub-boxes,
+        # gap splitting cuts the admitted volume 2519 -> 2084
+        # slots/particle and — decisive for capacity — the TAIL from
+        # 188 to 104 subblocks (contiguous quarter boxes straddle the
+        # same Morton jumps split_block_bounds was built to absorb;
+        # see experiments/volume_probe.py)
+        if q_rep > 1:
+            nq = blocked.position.shape[0] * q_rep
+            qlo, qhi = tiles_ops.split_block_bounds(
+                blocked.position.reshape(nq, q_rows, 3),
+                blocked.real.reshape(nq, q_rows),
+            )
+        else:
+            qlo, qhi = bmin, bmax
+        cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates_exact(
+            cand_q, count_q, qlo, qhi, blocked.position, params.h, sub,
+            config.max_candidates_sub,
+        )
+    else:
+        sub_lo, sub_hi = tiles_ops.subblock_bounds(
+            blocked.position, blocked.real, sub
+        )
+        if q_rep > 1:
+            qlo, qhi = tiles_ops.subblock_bounds(
+                blocked.position, blocked.real, q_rep
+            )
+            qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+        else:
+            qlo, qhi = bmin, bmax
+        cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
+            cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
+            config.max_candidates_sub,
+        )
     overflow = ovf | ovf2
 
     mass = params.particle_mass

@@ -431,6 +431,113 @@ def refine_candidates(
     return cand_sub, jnp.minimum(count_sub, max_sub), overflow
 
 
+def refine_candidates_exact(
+    cand: jnp.ndarray,
+    count: jnp.ndarray,
+    qlo: jnp.ndarray,
+    qhi: jnp.ndarray,
+    pos_blocked: jnp.ndarray,
+    h: float,
+    sub: int,
+    max_sub: int,
+):
+    """Exact-position subblock refinement — the round-3 production path.
+
+    :func:`refine_candidates` tests candidate subblock *AABBs* against
+    dilated query boxes; box-box overlap admits subblocks whose box
+    corner clips the query box but whose particles are all farther than
+    h from every query particle. This variant tests every candidate
+    block PARTICLE against the dilated query boxes instead: a subblock
+    survives only if >= 1 of its particles lies inside some dilated
+    query box. The candidate-side slack vanishes entirely; what remains
+    is query-side box slack (a particle inside the dilated box can be
+    > h from all query particles near box corners), which 32-row query
+    boxes keep small. Supersets never change the physics — the
+    smoothing kernels' hard r<h cutoff zeroes every extra pair
+    (smoothing.cl:1-4) — so this only shrinks kernel work.
+
+    ``cand`` (nb, M) / ``count`` (nb,): block-granularity lists;
+    ``qlo``/``qhi`` (nb, S, 3): query boxes (32-row sub-boxes from
+    :func:`subblock_bounds`); ``pos_blocked`` (nbc, B, 3): candidate
+    block positions in sorted order (sentinel particles sit at far
+    coordinates, outside every box, so no real-mask is needed).
+
+    Layout (the LAYOUT RULE): the per-slot position gather reads a FLAT
+    (nbc, 3*B) field-major pack — lanes [px*B | py*B | pz*B] — so its
+    (rows, M, 3B) output is padding-free under the (8, 128) tiling.
+    The per-particle in-box test ANDs each particle's 3 axis predicates
+    with one (rows*M, 3B) @ (3B, B) MXU product per query box
+    (predicates are exactly representable in bf16, so DEFAULT matmul
+    precision is exact). Chunked over query rows under
+    REFINE_CHUNK_BYTES.
+
+    Returns (cand_sub (nb, max_sub) int32 with dead slots =
+    REFINE_SENTINEL, count_sub (nb,), overflowed () bool).
+    """
+    nb, m = cand.shape
+    s_boxes = qlo.shape[1]
+    nbc, b, _ = pos_blocked.shape
+    # flat field-major position pack (nbc, 3B)
+    pp = pos_blocked.swapaxes(1, 2).reshape(nbc, 3 * b)
+    # sel[l, p] = 1 iff lane l belongs to particle p (l % B == p)
+    lane = jnp.arange(3 * b, dtype=jnp.int32)
+    sel = (lane[:, None] % b == jnp.arange(b)[None, :]).astype(jnp.float32)
+    # per-lane dilated box bounds, field-major like the pack
+    lo_l = jnp.repeat(qlo - h, b, axis=-1)  # (nb, S, 3B)
+    hi_l = jnp.repeat(qhi + h, b, axis=-1)
+    live = jnp.arange(m, dtype=jnp.int32) < count[:, None]  # (nb, m)
+    candc = jnp.where(live, cand, 0)
+
+    def run(args):
+        candc_c, lo_c, hi_c, live_c, cand_c = args
+        rows = candc_c.shape[0]
+        g = jnp.take(pp, candc_c.reshape(-1), axis=0).reshape(rows, m, 3 * b)
+        inside = jnp.zeros((rows, m, b), bool)
+        for s in range(s_boxes):
+            pred = (
+                (g >= lo_c[:, s, None, :]) & (g <= hi_c[:, s, None, :])
+            ).astype(jnp.float32)
+            counts = jnp.einsum(
+                "rml,lp->rmp", pred, sel,
+                preferred_element_type=jnp.float32,
+            )
+            inside = inside | (counts == 3.0)
+        inside = inside & live_c[:, :, None]
+        # subblock survives iff any member particle is inside
+        ok = jnp.any(inside.reshape(rows, m, sub, b // sub), axis=-1)
+        ok = ok.swapaxes(1, 2)  # (rows, sub, m)
+        ids = cand_c[:, None, :] * sub + jnp.arange(sub, dtype=jnp.int32)[
+            None, :, None
+        ]
+        keys = jnp.where(ok, ids, REFINE_SENTINEL)
+        count_c = jnp.sum(ok, axis=(1, 2))
+        return keys, count_c
+
+    args = (candc, lo_l, hi_l, live, cand)
+    chunk = max(1, min(nb, REFINE_CHUNK_BYTES // (m * 3 * b * 4)))
+    if chunk == nb:
+        keys, count_sub = run(args)
+    else:
+        nch = -(-nb // chunk)
+        pad = nch * chunk - nb
+
+        def cc(a):
+            if pad:
+                a = jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0
+                )
+            return a.reshape((nch, chunk) + a.shape[1:])
+
+        keys, count_sub = jax.lax.map(run, tuple(cc(a) for a in args))
+        keys = keys.reshape((-1, sub, m))[:nb]
+        count_sub = count_sub.reshape(-1)[:nb]
+
+    keys = jnp.concatenate([keys[:, s, :] for s in range(sub)], axis=1)
+    cand_sub = jnp.sort(keys, axis=1)[:, :max_sub]
+    overflow = jnp.any(count_sub > max_sub)
+    return cand_sub, jnp.minimum(count_sub, max_sub), overflow
+
+
 def candidate_blocks_auto(bmin, bmax, h, max_candidates):
     """Pick the dense or hierarchical search by problem size.
 
@@ -528,7 +635,11 @@ def density_pass(
     qp = blocked.position
 
     def step(acc, m):
-        c = cand[:, m]  # (nb,)
+        # dead slots may hold REFINE_SENTINEL (hierarchical search);
+        # clamp the gather index — jnp.take's default fill mode would
+        # return NaN rows, and even masked physics NaN-poisons the
+        # einsums downstream (0 * NaN = NaN in force_pass)
+        c = jnp.minimum(cand[:, m], cf.position.shape[0] - 1)  # (nb,)
         cp = jnp.take(cf.position, c, axis=0)  # (nb, B, 3)
         creal = jnp.take(cf.real, c, axis=0)  # (nb, B)
         if cfg.mode == "mxu":
@@ -573,7 +684,8 @@ def force_pass(
 
     def step(carry, m):
         press_acc, visc_acc, norm_acc, lap_acc = carry
-        c = cand[:, m]
+        # clamp dead-slot sentinels (see density_pass step note)
+        c = jnp.minimum(cand[:, m], cf.position.shape[0] - 1)
         cp = jnp.take(cf.position, c, axis=0)
         cv = jnp.take(cf.velocity, c, axis=0)
         crho = jnp.take(cf.density, c, axis=0)
