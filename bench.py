@@ -61,6 +61,8 @@ def main():
     )
     ap.add_argument("--nl-query-rows", type=int, default=128)
     ap.add_argument("--max-candidates-sub", type=int, default=192)
+    ap.add_argument("--max-candidates-hit", type=int, default=128)
+    ap.add_argument("--no-hit-compact", action="store_true")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -82,6 +84,8 @@ def main():
         pallas_variant=args.pallas_variant,
         nl_query_rows=args.nl_query_rows,
         max_candidates_sub=args.max_candidates_sub,
+        max_candidates_hit=args.max_candidates_hit,
+        hit_compact=not args.no_hit_compact,
     )
 
     scene_dev = None
@@ -117,6 +121,7 @@ def main():
             cfg,
             max_candidates=cfg.max_candidates * 2,
             max_candidates_sub=cfg.max_candidates_sub * 2,
+            max_candidates_hit=cfg.max_candidates_hit * 2,
         )
         log(f"capacity overflow -> max_candidates={cfg.max_candidates}")
     state, dt = s_try, d_try

@@ -1,0 +1,125 @@
+"""Fidelity at bench scale (VERDICT r2 item #9): run a 64k water
+dam-break for K substeps on the device, then compare the production
+path's density/accel against a vectorised float64 oracle of the same
+governing equations (Mueller-03 + Kelager 4.11 + colour-field ST —
+the math of forces.cl:14-111 / sphb.cl:3-126).
+
+Density error is measured over ALL particles; accel over a random row
+subsample (the f64 pair sums are O(rows * N)).
+
+Run ON TPU:  python experiments/fidelity_64k.py [dot_mode]
+dot_mode: 'highest' (default) | 'split3' — sets LIBCLSPH_TPU_DOT_MODE
+before importing the kernels.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+if len(sys.argv) > 1:
+    os.environ["LIBCLSPH_TPU_DOT_MODE"] = sys.argv[1]
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libclsph_tpu.core.params import derive_parameters
+from libclsph_tpu.core.state import init_state
+from libclsph_tpu.engine.step import StepConfig, substep_jit
+
+N = 65536
+SETTLE = 20
+ROWS = 512
+
+fluid = dict(fluid_density=998.29, dynamic_viscosity=3.5, restitution=0, k=100,
+             surface_tension_threshold=7.065, surface_tension=0.0728,
+             particles_inside_influence_radius=20)
+sim = dict(particles_count=N, particle_mass=0.05, simulation_time=3,
+           target_fps=60, simulation_scale=0.1,
+             constant_acceleration=dict(x=0, y=-9.8, z=0))
+params = derive_parameters(fluid, sim)
+cfg = StepConfig(neighbor_impl="pallas", pallas_variant="nl",
+                 max_candidates=96, max_candidates_sub=128,
+                 max_candidates_hit=96)
+
+state = init_state(params)
+dt = jnp.float32(params.max_dt)
+for _ in range(SETTLE):
+    state, dt, flags = substep_jit(state, dt, params, None, cfg)
+assert not int(flags), int(flags)
+
+# one more substep at negligible dt: density/accel are evaluated on the
+# (fetched) input positions
+pos = np.asarray(state.position, np.float64)
+vel = np.asarray(state.velocity, np.float64)
+out, _, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+rho_dev = np.asarray(out.density, np.float64)
+acc_dev = np.asarray(out.acceleration, np.float64)
+
+h = float(params.h)
+mass = float(params.particle_mass)
+c_poly6 = 315.0 / (64.0 * np.pi * h**9)
+c_grad = -945.0 / (32.0 * np.pi * h**9)
+c_lap = -945.0 / (32.0 * np.pi * h**9)
+c_spiky = -45.0 / (np.pi * h**6)
+c_visc = 45.0 / (np.pi * h**6)
+
+# ---- f64 density for ALL particles (chunked pair sums)
+rho = np.zeros(N)
+CH = 1024
+for s in range(0, N, CH):
+    d = pos[s : s + CH, None, :] - pos[None, :, :]
+    r2 = np.einsum("ijk,ijk->ij", d, d)
+    t = np.maximum(h * h - r2, 0.0)
+    rho[s : s + CH] = mass * c_poly6 * (t**3).sum(axis=1)
+press = params.K * ((rho / params.fluid_density) ** 7 - 1.0)
+
+rms_rel_rho = float(np.sqrt(np.mean(((rho_dev - rho) / rho) ** 2)))
+max_rel_rho = float(np.max(np.abs(rho_dev - rho) / rho))
+print(f"density: RMS rel {rms_rel_rho:.3e}  max rel {max_rel_rho:.3e}")
+
+# ---- f64 accel for a row subsample
+rng = np.random.default_rng(7)
+rows = np.sort(rng.choice(N, ROWS, replace=False))
+acc = np.zeros((ROWS, 3))
+for k, i in enumerate(rows):
+    rv = pos[i] - pos  # (N, 3)
+    r2 = np.einsum("ij,ij->i", rv, rv)
+    r = np.sqrt(r2)
+    incl = r < h
+    near0 = r < 1e-7
+    sel = incl & (np.arange(N) != i)
+    coeff = press[sel] / rho[sel] ** 2 + press[i] / rho[i] ** 2
+    rr = r[sel]
+    sg = np.where(
+        near0[sel, None],
+        np.full((sel.sum(), 3), c_spiky),
+        c_spiky * rv[sel] / np.where(near0[sel, None], 1.0, rr[:, None])
+        * (h - rr[:, None]) ** 2,
+    )
+    pr = (coeff[:, None] * mass * sg).sum(axis=0)
+    vi = (
+        (vel[sel] - vel[i]) * (mass / rho[sel])[:, None] * c_visc
+        * (h - rr)[:, None]
+    ).sum(axis=0)
+    t = (h * h - r2)[incl]
+    normal = (
+        (mass / rho[incl])[:, None] * c_grad * rv[incl] * (t**2)[:, None]
+    ).sum(axis=0)
+    lap = (
+        mass / rho[incl] * c_lap * t * (3 * h * h - 7 * r2[incl])
+    ).sum()
+    total = -rho[i] * pr + params.dynamic_viscosity * vi
+    nlen = np.linalg.norm(normal)
+    if nlen > params.surface_tension_threshold:
+        total += -params.surface_tension * lap * normal / nlen
+    acc[k] = total / rho[i] + np.asarray(params.constant_acceleration)
+
+scale = np.abs(acc).max()
+err = np.abs(acc_dev[rows] - acc)
+print(
+    f"accel ({os.environ.get('LIBCLSPH_TPU_DOT_MODE', 'highest')}):"
+    f" RMS rel {np.sqrt(np.mean(err**2)) / scale:.3e}"
+    f"  max rel {err.max() / scale:.3e}  (scale {scale:.2f} m/s^2)"
+)

@@ -22,7 +22,8 @@ from libclsph_tpu.ops import tiles as tiles_ops
 from libclsph_tpu.ops.pallas import neighbor_nl as nl
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-MAXSUB = 192
+MAXSUB = 128
+MAXHIT = 96
 QROWS = 128
 
 fluid = dict(fluid_density=998.29, dynamic_viscosity=3.5, restitution=0, k=100,
@@ -85,9 +86,8 @@ sub = cfg.block_size // nl.SUB
 
 @jax.jit
 def stage_refine(blocked, cand, count, bmin, bmax):
-    sub_lo, sub_hi = tiles_ops.subblock_bounds(blocked.position, blocked.real, sub)
-    return tiles_ops.refine_candidates(
-        cand, count, bmin, bmax, sub_lo, sub_hi, params.h, sub, MAXSUB)
+    return tiles_ops.refine_candidates_exact(
+        cand, count, bmin, bmax, blocked.position, params.h, sub, MAXSUB)
 
 
 cand_sub, count_sub, _ = stage_refine(blocked, cand, count, bmin, bmax)
@@ -113,12 +113,25 @@ def stage_density(q_pos, c_pos_pack, cand_sub, count_sub, real):
 
 
 @jax.jit
+def stage_density_hits(q_pos, c_pos_pack, cand_sub, count_sub, real):
+    return nl.fused_density_nl(q_pos, c_pos_pack, cand_sub, count_sub,
+                               params, terms, real, want_hits=True)
+
+
+@jax.jit
+def stage_compact(cand_sub, hits):
+    return tiles_ops.compact_hits(cand_sub, hits[:, :cand_sub.shape[1]], MAXHIT)
+
+
+@jax.jit
 def stage_forces(q_force, c_force_pack, cand_sub, count_sub, real, density):
     return nl.fused_forces_nl(q_force, c_force_pack, cand_sub, count_sub,
                               params, terms, real, density)
 
 
 density = stage_density(q_pos, c_pos_pack, cand_sub, count_sub, real)
+_, hits = stage_density_hits(q_pos, c_pos_pack, cand_sub, count_sub, real)
+cand_hit, count_hit, ovf_hit = stage_compact(cand_sub, hits)
 
 
 def timeit(name, fn, *args, reps=6):
@@ -136,14 +149,20 @@ def timeit(name, fn, *args, reps=6):
 
 timeit("candidate_blocks (96)", stage_cand, bmin, bmax)
 timeit("refine_candidates", stage_refine, blocked, cand, count, bmin, bmax)
-timeit("gather_tiles (force pack)", stage_gather_force, c_force_pack, cs_padded)
-timeit("gather_tiles (pos pack)", stage_gather_force, c_pos_pack, cs_padded)
 timeit("fused_density_nl e2e", stage_density, q_pos, c_pos_pack, cand_sub, count_sub, real)
-timeit("fused_forces_nl e2e", stage_forces, q_force, c_force_pack, cand_sub,
+timeit("density + hit flags e2e", stage_density_hits, q_pos, c_pos_pack,
+       cand_sub, count_sub, real)
+timeit("compact_hits", stage_compact, cand_sub, hits)
+timeit("forces (admitted list)", stage_forces, q_force, c_force_pack, cand_sub,
        count_sub, real, density)
+timeit("forces (true-hit list)", stage_forces, q_force, c_force_pack, cand_hit,
+       count_hit, real, density)
 
 cnp = np.asarray(count)
 csn = np.asarray(count_sub)
+chn = np.asarray(count_hit)
 print(f"cand128: mean {cnp.mean():.1f} max {cnp.max()}")
 print(f"cand_sub: mean {csn.mean():.1f} max {csn.max()} "
-      f"tiles mean {np.ceil(csn / 4).mean():.1f} -> pairs/particle {csn.mean() * 32:.0f}")
+      f"-> pairs/particle {csn.mean() * 32:.0f}")
+print(f"cand_hit: mean {chn.mean():.1f} max {chn.max()} ovf {bool(ovf_hit)} "
+      f"-> pairs/particle {chn.mean() * 32:.0f}")

@@ -52,6 +52,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--nl-query-rows", type=int, default=128)
     ap.add_argument("--max-candidates-sub", type=int, default=192)
+    ap.add_argument("--max-candidates-hit", type=int, default=128)
+    ap.add_argument(
+        "--no-hit-compact", action="store_true",
+        help="disable the force pass's true-hit candidate compaction",
+    )
     ap.add_argument(
         "--confirm", action="store_true",
         help="ask for confirmation before simulating (reference behaviour)",
@@ -98,6 +103,8 @@ def main(argv=None) -> int:
         pallas_variant=args.pallas_variant,
         nl_query_rows=args.nl_query_rows,
         max_candidates_sub=args.max_candidates_sub,
+        max_candidates_hit=args.max_candidates_hit,
+        hit_compact=not args.no_hit_compact,
     )
     mesh = None
     if args.mesh:

@@ -176,6 +176,7 @@ class SPHSimulation:
                 cfg,
                 max_candidates=cfg.max_candidates * 2,
                 max_candidates_sub=cfg.max_candidates_sub * 2,
+                max_candidates_hit=cfg.max_candidates_hit * 2,
             )
             grown = cfg.max_candidates
         else:
@@ -224,9 +225,24 @@ class SPHSimulation:
     # ------------------------------------------------------------------
     def _simulate_sharded(self) -> float:
         """Multi-chip frame loop: substeps run under shard_map over
-        ``self.mesh``; host pays one dt-scalar fetch per substep."""
+        ``self.mesh``.
+
+        Mirrors the single-chip loop's two paths:
+        * fast path (no ``write_intermediate_frames``) — the whole
+          frame substep loop runs on device (`make_sharded_frame`, the
+          shard_map twin of `frame_jit`): the host fetches ONE timeleft
+          scalar per dispatch instead of one dt per substep;
+        * slow path — per-substep dispatch honouring per-substep
+          ``pre_frame`` / ``save_frame`` / ``post_frame`` callbacks
+          (sph_simulation.cpp:378-409 semantics), like the single-chip
+          engine.
+        """
         from ..parallel.mesh import particle_sharding
-        from ..parallel.sharded_step import make_sharded_substep, pad_for_mesh
+        from ..parallel.sharded_step import (
+            make_sharded_frame,
+            make_sharded_substep,
+            pad_for_mesh,
+        )
 
         p = self.parameters
         t_start = _time.perf_counter()
@@ -238,59 +254,95 @@ class SPHSimulation:
         sharding = particle_sharding(self.mesh)
         state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
 
-        def build_step():
-            return make_sharded_substep(
+        def build(maker):
+            return maker(
                 self.mesh, p, self.device_scene, self.step_config,
                 exchange=self.exchange, halo_max=self.halo_max,
                 halo_hops=self.halo_hops,
             )
-
-        step = build_step()
 
         def fetch_real(st) -> dict:
             arrays = ckpt_mod.state_to_arrays(jax.block_until_ready(st))
             real = np.abs(arrays["position"]).max(axis=1) < 1.0e30
             return {k: v[real] for k, v in arrays.items()}
 
+        def reupload(arrays):
+            # re-partition the mutated state across the mesh
+            st = self._upload(arrays)
+            st = pad_for_mesh(st, p, self.mesh, self.step_config)
+            return jax.tree.map(lambda a: jax.device_put(a, sharding), st)
+
         timeperframe = p.frame_time
         dt = jnp.float32(timeperframe * p.simulation_scale)
         sim_time = 0.0
         current_frame = 2
+
+        fast_path = not self.write_intermediate_frames
+        frame_fn = build(make_sharded_frame) if fast_path else None
+        step = build(make_sharded_substep) if not fast_path else None
 
         if self.save_frame:
             self._save(saver, fetch_real(state))
 
         while sim_time < p.simulation_time:
             log.info("Simulating frame %d (%gs)", current_frame, sim_time)
-            if self.pre_frame:
+            if fast_path and self.pre_frame:
                 arrays = fetch_real(state)
                 if self.pre_frame(arrays, p, True):
-                    # re-partition the mutated state across the mesh
-                    st = self._upload(arrays)
-                    st = pad_for_mesh(st, p, self.mesh, self.step_config)
-                    state = jax.tree.map(
-                        lambda a: jax.device_put(a, sharding), st
+                    state = reupload(arrays)
+
+            if fast_path:
+                while True:
+                    st_try, dt_try = state, dt
+                    timeleft = jnp.float32(timeperframe)
+                    rerun = False
+                    while float(timeleft) > 0.0:
+                        st_try, dt_try, timeleft, flags = frame_fn(
+                            st_try, dt_try, timeleft
+                        )
+                        if self._needs_rerun(flags):
+                            frame_fn = build(make_sharded_frame)
+                            rerun = True
+                            break
+                    if not rerun:
+                        state, dt = st_try, dt_try
+                        break
+            else:
+                timeleft = timeperframe
+                while timeleft > 0.0:
+                    if self.pre_frame:
+                        arrays = fetch_real(state)
+                        if self.pre_frame(arrays, p, False):
+                            state = reupload(arrays)
+                    # substep-granular retry: the jitted step never
+                    # commits on overflow (state input unchanged)
+                    while True:
+                        new_state, dt_dev, flags = step(state, dt)
+                        if not self._needs_rerun(flags):
+                            state = new_state
+                            break
+                        step = build(make_sharded_substep)
+                    dt_f = float(dt_dev)
+                    timeleft -= dt_f
+                    dt = jnp.float32(
+                        min(dt_f, timeleft) if timeleft < dt_f else dt_f
                     )
-            timeleft = timeperframe
-            frame_start_state, frame_start_dt = state, dt
-            while timeleft > 0.0:
-                new_state, dt_dev, flags = step(state, dt)
-                if self._needs_rerun(flags):
-                    step = build_step()
-                    state, dt = frame_start_state, frame_start_dt
-                    timeleft = timeperframe
-                    continue
-                state = new_state
-                dt_f = float(dt_dev)
-                timeleft -= dt_f
-                dt = jnp.float32(min(dt_f, timeleft) if timeleft < dt_f else dt_f)
+                    log.debug("frame time remaining: %g", timeleft)
+                    if self.save_frame:
+                        self._save(saver, fetch_real(state))
+                    if self.post_frame:
+                        arrays = fetch_real(state)
+                        if self.post_frame(arrays, p, False):
+                            state = reupload(arrays)
+
             sim_time += timeperframe
             current_frame += 1
             if self.save_frame:
                 self._save(saver, fetch_real(state))
             if self.post_frame:
                 arrays = fetch_real(state)
-                self.post_frame(arrays, p, True)
+                if self.post_frame(arrays, p, True):
+                    state = reupload(arrays)
 
         saver.close()
         self.state = state

@@ -69,6 +69,17 @@ class StepConfig:
     # slack, ~45% less pair volume at 1M for ~10 ms of XLA prefilter.
     # 'aabb': the round-2 subblock-AABB overlap test.
     refine_mode: str = "exact"
+    # nl/asm force-pass candidate compaction. The density kernel emits
+    # per-subblock TRUE-HIT flags (any pair with r < h) nearly free —
+    # a handful of vreg ops on data already in registers — and the
+    # force pass then runs on the compacted true-hit lists
+    # (tiles.compact_hits): refine admits subblocks whose particles
+    # enter the dilated query BOX but not the union of query support
+    # spheres (~20% of admitted volume at 1M), and every force term
+    # carries the hard r<h cutoff clamp, so dropping no-hit subblocks
+    # is physics-exact.
+    hit_compact: bool = True
+    max_candidates_hit: int = 128  # force-pass capacity after compaction
     # nl/asm pair-distance path. 'vpu' (default): elementwise
     # dx^2+dy^2+dz^2. 'mxu': one K=5 dot on the matrix unit from
     # domain-centred coordinates — measured SLOWER on v5e (the MXU is
@@ -263,6 +274,10 @@ def _density_forces_pallas_nl(
     sub = cfg.block_size // nl.SUB
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
+    # truncation-safe self range: the query's own subblock ids are
+    # [parent_block*sub, parent_block*sub + sub) (tiles._self_priority_sort)
+    nb_q = blocked.position.shape[0] * q_rep
+    self_lo = (jnp.arange(nb_q, dtype=jnp.int32) // q_rep) * sub
     if q_rep > 1:
         # finer query candidate lists; each child block reuses its
         # parent's coarse candidate list (row repeat)
@@ -288,7 +303,7 @@ def _density_forces_pallas_nl(
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates_exact(
             cand_q, count_q, qlo, qhi, blocked.position, params.h, sub,
-            config.max_candidates_sub,
+            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
         )
     else:
         sub_lo, sub_hi = tiles_ops.subblock_bounds(
@@ -303,7 +318,7 @@ def _density_forces_pallas_nl(
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
             cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
-            config.max_candidates_sub,
+            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
         )
     overflow = ovf | ovf2
 
@@ -321,10 +336,22 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, state.density, state.pressure,
         real, mass=mass, center=center,
     )
-    density = fused_density(
-        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
-        r2_mxu=r2_mxu,
-    )
+    if config.hit_compact:
+        density, hits = fused_density(
+            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
+            r2_mxu=r2_mxu, want_hits=True,
+        )
+        cand_f, count_f, ovf3 = tiles_ops.compact_hits(
+            cand_sub, hits[:, : cand_sub.shape[1]], config.max_candidates_hit,
+            self_lo=self_lo, self_width=sub,
+        )
+        overflow = overflow | ovf3
+    else:
+        density = fused_density(
+            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
+            r2_mxu=r2_mxu,
+        )
+        cand_f, count_f = cand_sub, count_sub
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(real, pressure, 0.0)
 
@@ -337,7 +364,7 @@ def _density_forces_pallas_nl(
         center=center,
     )
     accel = fused_forces(
-        q_force, c_force_pack, cand_sub, count_sub, params, terms, real,
+        q_force, c_force_pack, cand_f, count_f, params, terms, real,
         density, r2_mxu=r2_mxu,
     )
     return density, pressure, accel, overflow

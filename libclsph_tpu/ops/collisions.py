@@ -127,101 +127,119 @@ def _signed_face_distance(p, rot, trans, rv):
     return d, rpx
 
 
+def _gridpoint_positions(scene: Scene) -> np.ndarray:
+    """World positions of all DF gridpoints (NumPy, host side), in the
+    reference's y-major / z / x-minor flat layout per face grid
+    (collisionsv2.cl:61-87)."""
+    total = scene.total_gridpoints
+    idx = np.arange(total, dtype=np.int64)
+    owner = np.searchsorted(scene.bb_offset, idx, side="right") - 1
+    owner = np.clip(owner, 0, scene.face_count - 1)
+    size = scene.bb_size[owner]
+    li = idx - scene.bb_offset[owner]
+    sx = size[:, 0]
+    plane = sx * size[:, 2]
+    x = (li % plane) % sx
+    z = (li % plane) // sx
+    y = li // plane
+    o_min = scene.bb_min[owner]
+    o_max = scene.bb_max[owner]
+    coords = np.stack([x, y, z], axis=1).astype(np.float64)
+    denom = np.maximum(size.astype(np.float64) - 1.0, 1.0)
+    return (coords * (o_max - o_min) / denom + o_min).astype(np.float32)
+
+
 def bake_distance_field(
-    scene: Scene, *, point_chunk: int = 65536, face_chunk: int = 64
+    scene: Scene, *, point_chunk: int = 4096, face_chunk: int = 8
 ) -> jnp.ndarray:
     """Bake the flat (G,) signed distance field on device.
 
     Mirrors computeDistanceField (collisionsv2.cl:57-138), including the
     y-major / z / x-minor flat layout of each face's grid
-    (collisionsv2.cl:70-77) and last-wins min-|d| sign convention.
+    (collisionsv2.cl:70-77) and the first-strict-min sign convention
+    (``if (d < fabs(temd))``, collisionsv2.cl:131-133).
+
+    The reference tests every gridpoint against every face's dilated
+    AABB (collisionsv2.cl:89-91). Here a HOST-side prefilter computes,
+    per ``point_chunk`` of consecutive gridpoints (spatially compact —
+    they tile one face's grid), the exact shortlist of faces whose AABB
+    overlaps the chunk's AABB; the device then evaluates only
+    (chunk x shortlist) distances — one jitted ``lax.map`` over all
+    chunks, one dispatch, one fetch. Shortlists are padded to a common
+    multiple of ``face_chunk``; pad slots point at a sentinel face with
+    an inverted AABB that matches nothing. (The round-2 version's
+    13-dispatch all-faces scan measured 709 s for labyrinth's 801k
+    gridpoints; this formulation is the VERDICT r3 item #4 fix.)
     """
-    arrs = device_scene_arrays(scene)
-    bb_min, bb_max = arrs["bb_min"], arrs["bb_max"]
-    bb_size, bb_offset = arrs["bb_size"], arrs["bb_offset"]
-    rot, trans, rv = arrs["rotations"], arrs["translations"], arrs["rvertices"]
-
-    total = scene.total_gridpoints
     f_total = scene.face_count
-    # Pad faces so the scan has uniform chunks; padded faces have
-    # impossible bboxes and never match.
-    f_pad = (-f_total) % face_chunk
-    if f_pad:
-        inf = jnp.float32(jnp.inf)
-        bb_min_s = jnp.concatenate([bb_min, jnp.full((f_pad, 3), inf)], axis=0)
-        bb_max_s = jnp.concatenate([bb_max, jnp.full((f_pad, 3), -inf)], axis=0)
-        rot_s = jnp.concatenate([rot, jnp.zeros((f_pad, 3, 3), jnp.float32)], axis=0)
-        trans_s = jnp.concatenate([trans, jnp.zeros((f_pad, 3), jnp.float32)], axis=0)
-        rv_s = jnp.concatenate([rv, jnp.zeros((f_pad, 4), jnp.float32)], axis=0)
-    else:
-        bb_min_s, bb_max_s, rot_s, trans_s, rv_s = bb_min, bb_max, rot, trans, rv
-    n_chunks = (f_total + f_pad) // face_chunk
-    chunk = lambda a: a.reshape((n_chunks, face_chunk) + a.shape[1:])
-    scan_data = (
-        chunk(bb_min_s),
-        chunk(bb_max_s),
-        chunk(rot_s),
-        chunk(trans_s),
-        chunk(rv_s),
+    total = scene.total_gridpoints
+    pos = _gridpoint_positions(scene)  # (G, 3) host
+
+    n_chunks = -(-total // point_chunk)
+    pad = n_chunks * point_chunk - total
+    pos_p = np.concatenate([pos, np.tile(pos[:1], (pad, 1))]) if pad else pos
+    pos_c = pos_p.reshape(n_chunks, point_chunk, 3)
+    cmin = pos_c.min(axis=1)  # (nch, 3)
+    cmax = pos_c.max(axis=1)
+    # exact host shortlist: faces whose dilated AABB intersects the
+    # chunk AABB (superset per point of the reference's per-point test,
+    # so no face any point needs is ever dropped)
+    ov = np.all(
+        (cmin[:, None, :] <= scene.bb_max[None, :, :])
+        & (cmax[:, None, :] >= scene.bb_min[None, :, :]),
+        axis=-1,
+    )  # (nch, F)
+    counts = ov.sum(axis=1)
+    k = max(int(counts.max()), 1)
+    k = -(-k // face_chunk) * face_chunk
+    short = np.full((n_chunks, k), f_total, np.int32)  # pad = sentinel face
+    for i in range(n_chunks):
+        ids = np.nonzero(ov[i])[0]  # ascending face order (first-win ties)
+        short[i, : ids.size] = ids
+
+    # face tables + one sentinel row that matches nothing
+    arrs = device_scene_arrays(scene)
+    inf = np.float32(np.inf)
+    bb_min = jnp.concatenate([arrs["bb_min"], jnp.full((1, 3), inf)], axis=0)
+    bb_max = jnp.concatenate([arrs["bb_max"], jnp.full((1, 3), -inf)], axis=0)
+    rot = jnp.concatenate(
+        [arrs["rotations"], jnp.zeros((1, 3, 3), jnp.float32)], axis=0
     )
+    trans = jnp.concatenate(
+        [arrs["translations"], jnp.zeros((1, 3), jnp.float32)], axis=0
+    )
+    rv = jnp.concatenate([arrs["rvertices"], jnp.zeros((1, 4), jnp.float32)], axis=0)
 
-    @jax.jit
-    def bake_points(flat_idx):
-        # Owning face: largest f with offset[f] <= idx (the reference
-        # walks offsets downward, collisionsv2.cl:61-68).
-        owner = (
-            jnp.searchsorted(bb_offset, flat_idx.astype(jnp.int32), side="right") - 1
+    def chunk_df(args):
+        p, ids = args  # (C, 3), (K,)
+        fb_min = jnp.take(bb_min, ids, axis=0)  # (K, 3)
+        fb_max = jnp.take(bb_max, ids, axis=0)
+        frot = jnp.take(rot, ids, axis=0)
+        ftrans = jnp.take(trans, ids, axis=0)
+        frv = jnp.take(rv, ids, axis=0)
+        in_box = jnp.all(
+            (p[:, None, :] <= fb_max[None, :, :])
+            & (p[:, None, :] >= fb_min[None, :, :]),
+            axis=-1,
+        )  # (C, K)
+        d, rpx = _signed_face_distance(
+            p[:, None, :], frot[None], ftrans[None], frv[None]
+        )  # (C, K)
+        cand = jnp.where(in_box & (d < DF_FAR), d, jnp.inf)
+        # shortlist is in ascending face order and argmin returns the
+        # FIRST minimum -> identical tie behaviour to the reference's
+        # strict-< update loop
+        j = jnp.argmin(cand, axis=1)
+        dmin = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
+        sgn = jnp.take_along_axis(rpx, j[:, None], axis=1)[:, 0]
+        return jnp.where(
+            dmin < DF_FAR, jnp.copysign(dmin, sgn), jnp.float32(DF_FAR)
         )
-        owner = jnp.clip(owner, 0, f_total - 1)
-        size = bb_size[owner]  # (P, 3)
-        off = bb_offset[owner]
-        li = flat_idx.astype(jnp.int32) - off
-        sx, sy, sz = size[:, 0], size[:, 1], size[:, 2]
-        plane = sx * sz
-        x = (li % plane) % sx
-        z = (li % plane) // sx
-        y = li // plane
-        o_min, o_max = bb_min[owner], bb_max[owner]
-        # gridpoint world position (collisionsv2.cl:79-87)
-        coords = jnp.stack([x, y, z], axis=1).astype(jnp.float32)
-        denom = jnp.maximum(size.astype(jnp.float32) - 1.0, 1.0)
-        p = coords * (o_max - o_min) / denom + o_min  # (P, 3)
 
-        def face_chunk_step(temd, data):
-            cbb_min, cbb_max, crot, ctrans, crv = data
-            # (P, C) containment test
-            in_box = jnp.all(
-                (p[:, None, :] <= cbb_max[None, :, :])
-                & (p[:, None, :] >= cbb_min[None, :, :]),
-                axis=-1,
-            )
-            d, rpx = _signed_face_distance(
-                p[:, None, :], crot[None], ctrans[None], crv[None]
-            )  # (P, C)
-            cand = jnp.where(in_box, d, jnp.inf)
-            # min over the chunk, then combine with carry
-            j = jnp.argmin(cand, axis=1)
-            dmin = jnp.take_along_axis(cand, j[:, None], axis=1)[:, 0]
-            sgn = jnp.take_along_axis(rpx, j[:, None], axis=1)[:, 0]
-            better = dmin < jnp.abs(temd)
-            new = jnp.where(better, jnp.copysign(dmin, sgn), temd)
-            return new, None
-
-        temd0 = jnp.full(p.shape[0], DF_FAR, dtype=jnp.float32)
-        temd, _ = jax.lax.scan(face_chunk_step, temd0, scan_data)
-        return temd
-
-    out = np.empty(total, dtype=np.float32)
-    for s in range(0, total, point_chunk):
-        e = min(s + point_chunk, total)
-        idx = jnp.arange(s, e, dtype=jnp.int32)
-        if e - s < point_chunk:  # pad final chunk to keep one compile
-            idx = jnp.concatenate(
-                [idx, jnp.zeros(point_chunk - (e - s), jnp.int32)]
-            )
-        vals = np.asarray(bake_points(idx))
-        out[s:e] = vals[: e - s]
-    return jnp.asarray(out)
+    out = jax.jit(
+        lambda ps, ss: jax.lax.map(chunk_df, (ps, ss))
+    )(jnp.asarray(pos_c), jnp.asarray(short))
+    return out.reshape(-1)[:total]
 
 
 @jax.jit
@@ -330,6 +348,11 @@ def handle_collisions(
     side = (bmax - bmin) / jnp.maximum(size.astype(jnp.float32) - 1.0, 1.0)
 
     cell = ((position - bmin) / side).astype(jnp.int32)
+    # INVARIANT (load-bearing for _build_corner_table): cells are
+    # clipped to [0, size-2] per axis, so the +1 corner lookups the
+    # corner table precomputes stay inside this face's own grid —
+    # rows the table built for a face-boundary base gridpoint (whose
+    # clamped +1 indices alias the NEXT face's grid) are never read.
     cell = jnp.clip(cell, 0, size - 2)
     x, y, z = cell[:, 0], cell[:, 1], cell[:, 2]
     sx, sz = size[:, 0], size[:, 2]

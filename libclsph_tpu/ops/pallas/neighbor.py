@@ -446,13 +446,27 @@ def _r2_mxu(col, row):
     return jnp.maximum(r2, 0.0)
 
 
-def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False):
+def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
+                         hit_slot=None, hit_rows=0, sub=32):
     """Row-output density tile: the lane reduction is ONE MXU
     dot_general against a ones row and the accumulator is lane-major
     (a (B, 1) column op costs 16 nearly-empty vregs on TPU; a (1, B)
     row op costs one). ``out``: (1, 8, B) ref, row 0 accumulates.
     ``r2_mxu`` moves the pair-distance work onto the MXU too
-    (:func:`_r2_mxu`) — same physics to ~1e-6 absolute r2."""
+    (:func:`_r2_mxu`) — same physics to ~1e-6 absolute r2.
+
+    ``hit_slot``: when given (a traced int32 scalar: the first
+    candidate-subblock slot this tile covers), emit per-subblock TRUE
+    HIT flags — ``any(r2 < h^2)`` over the (Bq, sub) pair panel — into
+    out rows 1..hit_rows: the flag for slot j lands at row 1 + j//Bq,
+    lane j%Bq (Bq = the query width = out's lane extent). The flags
+    feed the force pass's hit-compacted candidate lists
+    (engine/step.py): a subblock with no flag has no pair inside the
+    support radius, so every force-kernel term it would contribute is
+    exactly 0 (all terms carry the hr/t cutoff clamps) — dropping it
+    is physics-exact, not an approximation. The B/sub per-quarter ORs
+    compress through one 0/1 matmul (counts <= B are exact in bf16)
+    and land on their slot lanes with one dynamic roll."""
     h2 = h * h
     if r2_mxu:
         r2 = _r2_mxu(col, row)
@@ -473,6 +487,32 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False):
             ones, w, (((1,), (1,)), ((), ())), lhs_exact=True, mode="split3"
         )  # (1, B)
         out[0, 0:1, :] += res
+
+        if hit_slot is not None:
+            bq, bc = incl.shape  # query width (out lanes), cand lanes
+            group = bc // sub
+            # any over query rows -> (1, Bc) lane vector of pair hits
+            hq = jnp.any(incl, axis=0, keepdims=True).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0)
+            quarter = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
+            s_mat = (lane // sub == quarter).astype(jnp.float32)
+            # counts per subblock quarter, landing in lanes 0..group-1
+            q4 = jax.lax.dot_general(
+                hq, s_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # roll on the full 128-lane row (Mosaic's dynamic rotate
+            # requires lane-aligned shapes), then narrow to the out
+            # width: q4 is nonzero only in lanes 0..group-1 and the
+            # roll amount is <= bq - group, so the flags always land
+            # inside [0, bq) with no wrap
+            rolled = pltpu.roll(q4, hit_slot % bq, axis=1)[:, :bq]
+            rowi = jax.lax.broadcasted_iota(
+                jnp.int32, (hit_rows, bq), 0
+            )
+            out[0, 1 : 1 + hit_rows, :] += jnp.where(
+                rowi == hit_slot // bq, rolled, 0.0
+            )
 
 
 def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,

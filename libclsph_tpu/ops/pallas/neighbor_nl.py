@@ -208,7 +208,15 @@ def _tile_from_raw(craw, t, nv):
 
 def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray,
                  f_out: int | None = None) -> jnp.ndarray:
-    """Gather + lane-pack candidate subblocks: (nc+1, F*SUB) flat pack
+    """RETIRED feed path, kept as the reference implementation for the
+    production gather_raw + _tile_from_raw in-kernel assembly (their
+    tile-for-tile equality is pinned by
+    tests/test_nl_layout.py::test_gather_raw_assembly_matches_gather_tiles)
+    and for experiments/. Its XLA lane-pack transpose runs at ~30 GB/s
+    (~145 ms/substep at 1M, measured) — that cost is why the kernels
+    assemble in-register instead.
+
+    Gather + lane-pack candidate subblocks: (nc+1, F*SUB) flat pack
     and (nb, M) refined ids (dead slots >= pack rows) -> the flat 2D
     (nb * M/GROUP * F_OUT, LANES) tile stream consumed sequentially by
     the kernel grid. ``f_out`` trims gather-alignment pad fields (the
@@ -329,7 +337,7 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
     return out.reshape((-1,) + out.shape[2:])[:nb]
 
 
-def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu):
+def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -342,11 +350,15 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu):
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
             tile = _tile_from_raw(c, s, 1)  # (4, 128)
+            hit_slot = (
+                (m * TPS + s) * GROUP if hit_rows else None
+            )
             _density_core_rowout(
                 lambda k: q[0, k],
                 lambda k: tile[k : k + 1, :],
                 out,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
+                hit_slot=hit_slot, hit_rows=hit_rows, sub=SUB,
             )
 
 
@@ -361,21 +373,43 @@ def fused_density_nl(
     *,
     interpret: bool | None = None,
     r2_mxu: bool = False,
-) -> jnp.ndarray:
+    want_hits: bool = False,
+):
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
-    make_csub_packs."""
+    make_csub_packs.
+
+    ``want_hits``: also return (nb, mp) float hit counters (> 0 iff
+    the slot's subblock has a true pair inside the support radius for
+    this query block), slot-aligned with the padded ``cand_sub`` —
+    the force pass's hit-compaction input (see _density_core_rowout).
+    """
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
+    mp = cand_sub.shape[1]
+    bq = q_pos.shape[2]  # query width = out lane extent
+    hit_rows = 0
+    if want_hits:
+        hit_rows = -(-mp // bq)
+        if hit_rows > 7:
+            raise ValueError(
+                f"refined capacity {mp} exceeds the 7x{bq} hit-flag "
+                "rows of the density accumulator"
+            )
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
-        r2_mxu=r2_mxu,
+        r2_mxu=r2_mxu, hit_rows=hit_rows,
     )
     wsum = _nl_call(
         kernel, q_pos, c_pos_pack, cand_sub, count_tiles, 8, interpret
     )
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
-    return jnp.where(real_flat, density, params.fluid_density)
+    density = jnp.where(real_flat, density, params.fluid_density)
+    if not want_hits:
+        return density
+    nb = wsum.shape[0]
+    hits = wsum[:, 1 : 1 + hit_rows, :].reshape(nb, hit_rows * bq)
+    return density, hits[:, :mp]
 
 
 def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
@@ -579,7 +613,7 @@ def _assemble_tile(cand_ref, count_ref, i, base, cs, f, n_pos):
 
 
 def _density_kernel_asm(cand_ref, count_ref, q, *cs_and_out, h, poly6,
-                        r2_mxu):
+                        r2_mxu, hit_rows=0):
     cs, out = cs_and_out[:-1], cs_and_out[-1]
     i = pl.program_id(0)
     m = pl.program_id(1)
@@ -600,6 +634,8 @@ def _density_kernel_asm(cand_ref, count_ref, q, *cs_and_out, h, poly6,
             _density_core_rowout(
                 lambda k: q[0, k], lambda k: tile[k : k + 1, :], out,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
+                hit_slot=base if hit_rows else None,
+                hit_rows=hit_rows, sub=SUB,
             )
 
 
@@ -693,16 +729,34 @@ def _asm_call(kernel, q, cpack, cand_sub, count, out_rows, interpret,
 
 
 def fused_density_asm(q_pos, c_pos_parent, cand_sub, count, params, terms,
-                      real_flat, *, interpret=None, r2_mxu=False):
-    """Flat (n,) density via in-kernel assembly (see module section)."""
+                      real_flat, *, interpret=None, r2_mxu=False,
+                      want_hits=False):
+    """Flat (n,) density via in-kernel assembly (see module section).
+    ``want_hits`` as in :func:`fused_density_nl` (hit counters aligned
+    with the GROUP*ATPS-padded candidate table)."""
     interpret = _interpret_default() if interpret is None else interpret
+    hit_rows = 0
+    if want_hits:
+        bq = q_pos.shape[2]
+        mp = -(-cand_sub.shape[1] // (GROUP * ATPS)) * (GROUP * ATPS)
+        hit_rows = -(-mp // bq)
+        if hit_rows > 7:
+            raise ValueError(
+                f"refined capacity {mp} exceeds the 7x{bq} hit-flag "
+                "rows of the density accumulator"
+            )
     kernel = functools.partial(
         _density_kernel_asm, h=float(params.h), poly6=float(terms.poly_6),
-        r2_mxu=r2_mxu,
+        r2_mxu=r2_mxu, hit_rows=hit_rows,
     )
     wsum = _asm_call(kernel, q_pos, c_pos_parent, cand_sub, count, 8, interpret)
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
-    return jnp.where(real_flat, density, params.fluid_density)
+    density = jnp.where(real_flat, density, params.fluid_density)
+    if not want_hits:
+        return density
+    nb = wsum.shape[0]
+    hits = wsum[:, 1 : 1 + hit_rows, :].reshape(nb, hit_rows * bq)
+    return density, hits[:, :mp]
 
 
 def fused_forces_asm(q_force, c_force_parent, cand_sub, count, params, terms,

@@ -48,8 +48,12 @@ SENTINEL_CODE = (1 << 30) - 1
 # Hierarchical candidate search constants (see candidate_blocks_auto):
 # above ~1024 blocks the dense nb x nc overlap matrix (and its
 # 67M-element scatter at 1M particles: measured 348 ms/step) costs more
-# than the physics, so a superblock prefilter takes over.
-HIERARCHICAL_THRESHOLD = 1024
+# than the physics, so a superblock prefilter takes over. The env
+# override exists for tests that must compile the hierarchical path at
+# small n (tests/test_tpu_smoke.py).
+HIERARCHICAL_THRESHOLD = int(
+    os.environ.get("LIBCLSPH_TPU_HIER_THRESHOLD", "1024")
+)
 SUPER = 16  # blocks per superblock
 # padded candidate superblocks per superblock. Slab-shaped fluids
 # (river/labyrinth channels at 1M) measure sb_count up to ~141 — the
@@ -283,10 +287,14 @@ def candidate_blocks_hierarchical(
     # the query side keeps its split boxes.
     cand_rep = jnp.repeat(sb_cand_sb, SUPER, axis=0)  # (nb, Msb)
     count_rep = jnp.repeat(sb_count_sb, SUPER, axis=0)
+    # self-priority: level-2 ids are BLOCK ids, the query's own id is
+    # its row index — biased so a truncated list keeps self-interaction
+    # (advisor r2 finding #4)
     cand, count, overflow = refine_candidates(
         cand_rep, count_rep, bmin, bmax,
         mem_lo.reshape(-1, 3), mem_hi.reshape(-1, 3),
         h, SUPER, max_candidates,
+        self_lo=jnp.arange(nb, dtype=jnp.int32), self_width=1,
     )
     return cand, count, overflow | sb_overflow
 
@@ -309,6 +317,29 @@ def subblock_bounds(pos_blocked: jnp.ndarray, real_blocked: jnp.ndarray, sub: in
 # it to a dedicated dead row (ops/pallas/neighbor_nl.py)
 REFINE_SENTINEL = 2**30  # Python int, not jnp (see SENTINEL_CODE note)
 
+# Self-priority bias for truncation-safe sorts (see _self_priority_sort):
+# subtracting it from the query's own candidate ids makes them sort
+# FIRST, so a capacity-truncated list can never drop a particle's
+# self-interaction (which would zero its density and NaN the force
+# combine's 1/rho on the flagged step before the engine re-runs it).
+SELF_BIAS = 2**29
+
+
+def _self_priority_sort(keys, self_lo, self_width, max_out):
+    """Ascending row sort + truncate to ``max_out``, with ids in
+    [self_lo, self_lo + self_width) biased to sort first. ``keys``
+    (nb, K) candidate ids (dead = REFINE_SENTINEL); ``self_lo`` (nb,)
+    or None (plain sort)."""
+    if self_lo is not None:
+        is_self = (keys >= self_lo[:, None]) & (
+            keys < self_lo[:, None] + self_width
+        )
+        keys = jnp.where(is_self, keys - SELF_BIAS, keys)
+    out = jnp.sort(keys, axis=1)[:, :max_out]
+    if self_lo is not None:
+        out = jnp.where(out < 0, out + SELF_BIAS, out)
+    return out
+
 # transient budget for refine's gathered (rows, 128) box stream
 REFINE_CHUNK_BYTES = (
     int(os.environ.get("LIBCLSPH_TPU_REFINE_CHUNK_MB", "512")) << 20
@@ -325,6 +356,8 @@ def refine_candidates(
     h: float,
     sub: int,
     max_sub: int,
+    self_lo: jnp.ndarray | None = None,
+    self_width: int = 1,
 ):
     """Refine block-granularity candidate lists to subblock granularity.
 
@@ -351,7 +384,9 @@ def refine_candidates(
     Returns (cand_sub (nb, max_sub) int32 subblock ids with dead slots
     = REFINE_SENTINEL, count_sub (nb,), overflowed () bool). Compaction
     is the sort trick from candidate_blocks_hierarchical: ascending row
-    sort packs passing ids to the front.
+    sort packs passing ids to the front. ``self_lo``/``self_width``:
+    optional per-row self-id range biased to survive capacity
+    truncation (:func:`_self_priority_sort`).
     """
     nb, m = cand.shape
     s_split = qmin.shape[1]
@@ -426,7 +461,7 @@ def refine_candidates(
     # (nb, sub, m) -> (nb, sub*m) via lane concat (order irrelevant: the
     # ascending sort packs live ids to the front either way)
     keys = jnp.concatenate([keys[:, s, :] for s in range(sub)], axis=1)
-    cand_sub = jnp.sort(keys, axis=1)[:, :max_sub]
+    cand_sub = _self_priority_sort(keys, self_lo, self_width, max_sub)
     overflow = jnp.any(count_sub > max_sub)
     return cand_sub, jnp.minimum(count_sub, max_sub), overflow
 
@@ -440,6 +475,8 @@ def refine_candidates_exact(
     h: float,
     sub: int,
     max_sub: int,
+    self_lo: jnp.ndarray | None = None,
+    self_width: int = 1,
 ):
     """Exact-position subblock refinement — the round-3 production path.
 
@@ -447,32 +484,39 @@ def refine_candidates_exact(
     dilated query boxes; box-box overlap admits subblocks whose box
     corner clips the query box but whose particles are all farther than
     h from every query particle. This variant tests every candidate
-    block PARTICLE against the dilated query boxes instead: a subblock
-    survives only if >= 1 of its particles lies inside some dilated
-    query box. The candidate-side slack vanishes entirely; what remains
-    is query-side box slack (a particle inside the dilated box can be
-    > h from all query particles near box corners), which 32-row query
-    boxes keep small. Supersets never change the physics — the
-    smoothing kernels' hard r<h cutoff zeroes every extra pair
-    (smoothing.cl:1-4) — so this only shrinks kernel work.
+    block PARTICLE against the query boxes instead, with the exact
+    point-to-box distance (the "rounded box" test): a subblock survives
+    only iff >= 1 of its particles lies within h of some query box —
+    sum_axis max(lo-p, p-hi, 0)^2 <= h^2. The candidate-side slack
+    vanishes entirely AND the dilated-box corner slack (a point inside
+    the Minkowski box but > h from the box itself — ~11% of admitted
+    volume at 1M) goes with it; what remains is the query-side box
+    slack (distance to the box underestimates distance to the query
+    particles). Supersets never change the physics — the smoothing
+    kernels' hard r<h cutoff zeroes every extra pair (smoothing.cl:1-4)
+    — so this only shrinks kernel work.
 
     ``cand`` (nb, M) / ``count`` (nb,): block-granularity lists;
-    ``qlo``/``qhi`` (nb, S, 3): query boxes (32-row sub-boxes from
-    :func:`subblock_bounds`); ``pos_blocked`` (nbc, B, 3): candidate
+    ``qlo``/``qhi`` (nb, S, 3): query boxes (gap-split boxes from
+    :func:`split_block_bounds`); ``pos_blocked`` (nbc, B, 3): candidate
     block positions in sorted order (sentinel particles sit at far
     coordinates, outside every box, so no real-mask is needed).
 
     Layout (the LAYOUT RULE): the per-slot position gather reads a FLAT
     (nbc, 3*B) field-major pack — lanes [px*B | py*B | pz*B] — so its
     (rows, M, 3B) output is padding-free under the (8, 128) tiling.
-    The per-particle in-box test ANDs each particle's 3 axis predicates
-    with one (rows*M, 3B) @ (3B, B) MXU product per query box
-    (predicates are exactly representable in bf16, so DEFAULT matmul
-    precision is exact). Chunked over query rows under
-    REFINE_CHUNK_BYTES.
+    Each particle's 3 per-axis squared deficits are summed with one
+    (rows*M, 3B) @ (3B, B) MXU product per query box; the deficits are
+    NOT bf16-exact under the MXU's DEFAULT operand truncation, so the
+    h^2 threshold is inflated by 1% — strictly conservative (can only
+    admit extra subblocks near the boundary, never reject a true
+    neighbour; the admitted shell is ~0.5% of h). Chunked over query
+    rows under REFINE_CHUNK_BYTES.
 
     Returns (cand_sub (nb, max_sub) int32 with dead slots =
     REFINE_SENTINEL, count_sub (nb,), overflowed () bool).
+    ``self_lo``/``self_width``: optional truncation-safe self range
+    (:func:`_self_priority_sort`).
     """
     nb, m = cand.shape
     s_boxes = qlo.shape[1]
@@ -482,11 +526,13 @@ def refine_candidates_exact(
     # sel[l, p] = 1 iff lane l belongs to particle p (l % B == p)
     lane = jnp.arange(3 * b, dtype=jnp.int32)
     sel = (lane[:, None] % b == jnp.arange(b)[None, :]).astype(jnp.float32)
-    # per-lane dilated box bounds, field-major like the pack
-    lo_l = jnp.repeat(qlo - h, b, axis=-1)  # (nb, S, 3B)
-    hi_l = jnp.repeat(qhi + h, b, axis=-1)
+    # per-lane UNdilated box bounds, field-major like the pack
+    lo_l = jnp.repeat(qlo, b, axis=-1)  # (nb, S, 3B)
+    hi_l = jnp.repeat(qhi, b, axis=-1)
     live = jnp.arange(m, dtype=jnp.int32) < count[:, None]  # (nb, m)
     candc = jnp.where(live, cand, 0)
+    # bf16-truncation guard for the deficit matmul (see docstring)
+    h2_cut = float(h) * float(h) * 1.01
 
     def run(args):
         candc_c, lo_c, hi_c, live_c, cand_c = args
@@ -494,14 +540,18 @@ def refine_candidates_exact(
         g = jnp.take(pp, candc_c.reshape(-1), axis=0).reshape(rows, m, 3 * b)
         inside = jnp.zeros((rows, m, b), bool)
         for s in range(s_boxes):
-            pred = (
-                (g >= lo_c[:, s, None, :]) & (g <= hi_c[:, s, None, :])
-            ).astype(jnp.float32)
-            counts = jnp.einsum(
-                "rml,lp->rmp", pred, sel,
+            # per-axis deficit: 0 inside the box slab, distance outside
+            deficit = jnp.maximum(
+                jnp.maximum(lo_c[:, s, None, :] - g, g - hi_c[:, s, None, :]),
+                0.0,
+            )
+            # clamp: sentinel/far particles would square to inf
+            deficit = jnp.minimum(deficit, 1.0e6)
+            d2 = jnp.einsum(
+                "rml,lp->rmp", deficit * deficit, sel,
                 preferred_element_type=jnp.float32,
             )
-            inside = inside | (counts == 3.0)
+            inside = inside | (d2 <= h2_cut)
         inside = inside & live_c[:, :, None]
         # subblock survives iff any member particle is inside
         ok = jnp.any(inside.reshape(rows, m, sub, b // sub), axis=-1)
@@ -533,9 +583,33 @@ def refine_candidates_exact(
         count_sub = count_sub.reshape(-1)[:nb]
 
     keys = jnp.concatenate([keys[:, s, :] for s in range(sub)], axis=1)
-    cand_sub = jnp.sort(keys, axis=1)[:, :max_sub]
+    cand_sub = _self_priority_sort(keys, self_lo, self_width, max_sub)
     overflow = jnp.any(count_sub > max_sub)
     return cand_sub, jnp.minimum(count_sub, max_sub), overflow
+
+
+def compact_hits(cand_sub: jnp.ndarray, hits: jnp.ndarray, max_hit: int,
+                 self_lo: jnp.ndarray | None = None, self_width: int = 1):
+    """Compact a refined candidate list to its TRUE-HIT subblocks.
+
+    ``hits`` (nb, M) float counters from the density kernel's hit-flag
+    rows (neighbor.py _density_core_rowout): slot j > 0 iff subblock
+    cand_sub[i, j] has >= 1 particle within the support radius of some
+    particle of query block i. Dropping no-hit subblocks from the FORCE
+    pass is physics-exact — every force term carries the hard r < h
+    cutoff clamp, so a no-hit subblock contributes exactly 0.0
+    (measured at 1M: 2084 admitted -> 1677 true-hit slots/particle).
+
+    Returns (cand_hit (nb, max_hit), count_hit (nb,), overflowed).
+    ``self_lo``/``self_width``: optional truncation-safe self range
+    (:func:`_self_priority_sort`).
+    """
+    live = hits > 0.0
+    ids = jnp.where(live, cand_sub, REFINE_SENTINEL)
+    cand_hit = _self_priority_sort(ids, self_lo, self_width, max_hit)
+    count_hit = jnp.sum(live, axis=1, dtype=jnp.int32)
+    overflow = jnp.any(count_hit > max_hit)
+    return cand_hit, jnp.minimum(count_hit, max_hit), overflow
 
 
 def candidate_blocks_auto(bmin, bmax, h, max_candidates):

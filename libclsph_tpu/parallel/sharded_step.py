@@ -86,6 +86,7 @@ def _nl_passes(
     terms,
     config: StepConfig,
     center=None,
+    self_index=None,
 ):
     """Run the production nl Pallas kernels (ops/pallas/neighbor_nl.py)
     against an exchanged candidate block table — the sharded analog of
@@ -103,22 +104,48 @@ def _nl_passes(
 
     cfg = config.tile_config()
     sub = cfg.block_size // nl.SUB
-    sub_lo, sub_hi = tiles_ops.subblock_bounds(
-        pos_fields.position, pos_fields.real, sub
-    )
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
     if q_rep > 1:
-        qlo, qhi = tiles_ops.subblock_bounds(blocked.position, blocked.real, q_rep)
-        qlo, qhi = qlo[:, None, :], qhi[:, None, :]
         cand_q = jnp.repeat(cand, q_rep, axis=0)
         count_q = jnp.repeat(count, q_rep, axis=0)
     else:
-        qlo, qhi, cand_q, count_q = bmin, bmax, cand, count
-    cand_sub, count_sub, ovf = tiles_ops.refine_candidates(
-        cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
-        config.max_candidates_sub,
-    )
+        cand_q, count_q = cand, count
+    # truncation-safe self range: the query's own block index in the
+    # exchanged candidate table (tiles._self_priority_sort)
+    self_lo = None
+    if self_index is not None:
+        self_lo = jnp.repeat(self_index, q_rep) * sub
+    if config.refine_mode == "exact":
+        # same refinement as engine.step._density_forces_pallas_nl:
+        # candidate-table PARTICLES vs gap-split dilated query boxes
+        if q_rep > 1:
+            nq = blocked.position.shape[0] * q_rep
+            qlo, qhi = tiles_ops.split_block_bounds(
+                blocked.position.reshape(nq, q_rows, 3),
+                blocked.real.reshape(nq, q_rows),
+            )
+        else:
+            qlo, qhi = bmin, bmax
+        cand_sub, count_sub, ovf = tiles_ops.refine_candidates_exact(
+            cand_q, count_q, qlo, qhi, pos_fields.position, params.h, sub,
+            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
+        )
+    else:
+        sub_lo, sub_hi = tiles_ops.subblock_bounds(
+            pos_fields.position, pos_fields.real, sub
+        )
+        if q_rep > 1:
+            qlo, qhi = tiles_ops.subblock_bounds(
+                blocked.position, blocked.real, q_rep
+            )
+            qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+        else:
+            qlo, qhi = bmin, bmax
+        cand_sub, count_sub, ovf = tiles_ops.refine_candidates(
+            cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
+            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
+        )
     mass = params.particle_mass
 
     def packs(cf):
@@ -138,10 +165,22 @@ def _nl_passes(
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     c_pos_pack, _ = packs(pos_fields)
-    density = nl.fused_density_nl(
-        q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
-        r2_mxu=r2_mxu,
-    )
+    if config.hit_compact:
+        density, hits = nl.fused_density_nl(
+            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
+            r2_mxu=r2_mxu, want_hits=True,
+        )
+        cand_f, count_f, ovf_h = tiles_ops.compact_hits(
+            cand_sub, hits[:, : cand_sub.shape[1]], config.max_candidates_hit,
+            self_lo=self_lo, self_width=sub,
+        )
+        ovf = ovf | ovf_h
+    else:
+        density = nl.fused_density_nl(
+            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
+            r2_mxu=r2_mxu,
+        )
+        cand_f, count_f = cand_sub, count_sub
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(valid_s, pressure, 0.0)
     density = jnp.where(valid_s, density, params.fluid_density)
@@ -156,7 +195,7 @@ def _nl_passes(
     )
     _, c_force_pack = packs(force_fields(blocked))
     accel = nl.fused_forces_nl(
-        q_force, c_force_pack, cand_sub, count_sub, params, terms,
+        q_force, c_force_pack, cand_f, count_f, params, terms,
         valid_s, density, r2_mxu=r2_mxu,
     )
     return density, pressure, accel, ovf
@@ -454,6 +493,7 @@ def _local_substep(
             pos_fields, force_fields, valid_s,
             shard * n_local, params, terms, config,
             center=0.5 * (pos_min + pos_max),
+            self_index=self_index,
         )
         overflow = overflow | nl_ovf
     else:
@@ -531,6 +571,87 @@ def _local_substep(
     )
     flags = jax.lax.pmax(flags, AXIS)
     return final_state, dt_out, flags
+
+
+def _local_frame(
+    state: ParticleState,
+    dt: jnp.ndarray,
+    timeleft: jnp.ndarray,
+    params: SimulationParameters,
+    scene: Optional[collisions_ops.DeviceScene],
+    config: StepConfig,
+    n_shards: int,
+    exchange: str,
+    halo_max: int,
+    halo_hops: int,
+):
+    """A frame's substep loop on device under shard_map — the sharded
+    twin of engine.step.frame_jit (sph_simulation.cpp:384-409): carries
+    (state, dt, timeleft, flags, k) through a lax.while_loop whose body
+    is the full _local_substep (collectives included), bounded by
+    config.substeps_per_dispatch. The host fetches ONE scalar per
+    dispatch instead of one dt per substep."""
+    cap = jnp.int32(config.substeps_per_dispatch)
+
+    def cond(carry):
+        _, _, tl, _, k = carry
+        return (tl > 0.0) & (k < cap)
+
+    def body(carry):
+        st, dt_cur, tl, flags, k = carry
+        st, dt_next, step_flags = _local_substep(
+            st, dt_cur, params, scene, config, n_shards,
+            exchange=exchange, halo_max=halo_max, halo_hops=halo_hops,
+        )
+        tl = tl - dt_next
+        dt_next = jnp.where(tl < dt_next, tl, dt_next)
+        return st, dt_next, tl, flags | step_flags, k + 1
+
+    state, dt, timeleft, flags, _ = jax.lax.while_loop(
+        cond, body, (state, dt, timeleft, jnp.int32(0), jnp.int32(0))
+    )
+    return state, dt, timeleft, flags
+
+
+def make_sharded_frame(
+    mesh: Mesh,
+    params: SimulationParameters,
+    scene: Optional[collisions_ops.DeviceScene],
+    config: StepConfig,
+    exchange: str = "all_gather",
+    halo_max: int = 0,
+    halo_hops: int = 1,
+):
+    """Build the jitted sharded FRAME dispatch (see :func:`_local_frame`);
+    call as ``frame(state, dt, timeleft) -> (state, dt, timeleft, flags)``."""
+    n_shards = mesh.shape[AXIS]
+    pspec = P(AXIS)
+    state_specs = ParticleState(
+        position=pspec,
+        velocity=pspec,
+        intermediate_velocity=pspec,
+        acceleration=pspec,
+        density=pspec,
+        pressure=pspec,
+        grid_index=pspec,
+    )
+    fn = shard_map(
+        partial(
+            _local_frame,
+            params=params,
+            scene=scene,
+            config=config,
+            n_shards=n_shards,
+            exchange=exchange,
+            halo_max=halo_max,
+            halo_hops=halo_hops,
+        ),
+        mesh=mesh,
+        in_specs=(state_specs, P(), P()),
+        out_specs=(state_specs, P(), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 def make_sharded_substep(
@@ -668,7 +789,23 @@ def dryrun(n_devices: int) -> None:
     assert float(dt) > 0
 
     # also exercise the production Pallas kernels + the point-to-point
-    # ppermute ring exchange under the mesh (full ring coverage)
+    # ppermute ring exchange under the mesh (full ring coverage), WITH
+    # a DF collision scene (a 2-triangle floor under the lattice) so
+    # the sharded collision path (collisionsv2.cl:249-336 under the
+    # mesh) is certified too
+    from ..scene.obj_loader import ObjMesh
+    from ..scene.scene import Scene
+
+    floor = ObjMesh(
+        vertices=np.asarray(
+            [[-2, -0.5, -2], [2, -0.5, -2], [2, -0.5, 2], [-2, -0.5, 2]],
+            np.float32,
+        ),
+        triangles=np.asarray([[0, 2, 1], [0, 3, 2]], np.int32),
+    )
+    dev_scene = collisions_ops.build_device_scene(
+        Scene.from_mesh(floor, params.h * 2.0)
+    )
     nb_local = state.position.shape[0] // n_devices // config.block_size
     config_p = StepConfig(
         neighbor_impl="pallas", pallas_variant="nl",
@@ -676,7 +813,7 @@ def dryrun(n_devices: int) -> None:
         max_candidates_sub=96,
     )
     step_ring = make_sharded_substep(
-        mesh, params, None, config_p, exchange="ring",
+        mesh, params, dev_scene, config_p, exchange="ring",
         halo_max=nb_local, halo_hops=(n_devices + 1) // 2,
     )
     out2, dt2, flags2 = step_ring(state, jnp.float32(params.max_dt))
@@ -686,3 +823,16 @@ def dryrun(n_devices: int) -> None:
     assert real2.sum() == params.particles_count
     assert np.isfinite(pos2[real2]).all()
     assert float(dt2) > 0
+
+    # and the device-side frame loop (make_sharded_frame): a whole
+    # frame's substeps in one dispatch, one scalar fetched back
+    frame = make_sharded_frame(mesh, params, dev_scene, config_p)
+    out3, dt3, timeleft3, flags3 = frame(
+        state, jnp.float32(params.max_dt), jnp.float32(params.frame_time)
+    )
+    assert not int(flags3), int(flags3)
+    assert float(timeleft3) <= 0.0 or float(dt3) > 0.0
+    pos3 = np.asarray(out3.position)
+    real3 = np.abs(pos3).max(axis=1) < 1.0e30
+    assert real3.sum() == params.particles_count
+    assert np.isfinite(pos3[real3]).all()

@@ -127,6 +127,113 @@ class TestShardedStep:
         np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
         assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
 
+    def test_sharded_collisions_match_single_chip(self):
+        """The sharded DF collision path (DeviceScene routed through
+        _advect_collide under shard_map) must equal the single-chip
+        path — collisionsv2.cl:249-336 semantics under the mesh."""
+        from libclsph_tpu.ops import collisions as C
+        from libclsph_tpu.scene.scene import Scene
+
+        params = make_params(WATER, n=1024)
+        scene = Scene.load("cube.obj", params.h * 2, scenes_dir="scenes")
+        dev_scene = C.build_device_scene(scene)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        # drop the lattice so its bottom layer sits just above the
+        # cube's top face (y=-0.5) moving down: the DF response fires
+        # for the contact layer within one substep
+        state0 = init_state(params)
+        pos = np.array(state0.position)  # writable copy
+        pos[:, 1] -= pos[:, 1].min() + 0.49
+        down = np.tile(np.float32([0.0, -1.0, 0.0]), (pos.shape[0], 1))
+        state0 = state0.replace(
+            position=jnp.asarray(pos),
+            velocity=jnp.asarray(down),
+            intermediate_velocity=jnp.asarray(down),
+        )
+        dt = jnp.float32(params.max_dt)
+
+        s1, dt1, f1 = substep_jit(state0, dt, params, dev_scene, cfg)
+        s1_free, _, _ = substep_jit(state0, dt, params, None, cfg)
+        # the scene actually deflected particles (the test tests something)
+        assert np.abs(
+            np.asarray(s1.position) - np.asarray(s1_free.position)
+        ).max() > 1e-6
+
+        mesh = make_mesh(jax.devices()[:8])
+        sp = shard_state(pad_for_mesh(state0, params, mesh, cfg), mesh)
+        step = make_sharded_substep(mesh, params, dev_scene, cfg)
+        s8, dt8, f8 = step(sp, dt)
+        assert not bool(f8)
+
+        pos8 = np.asarray(s8.position)
+        real = np.abs(pos8).max(axis=1) < 1e30
+        assert real.sum() == params.particles_count
+
+        def key(pos):
+            q = np.round(np.asarray(pos, np.float64), 6)
+            return np.lexsort(q.T)
+
+        o1 = key(np.asarray(s1.position))
+        o8 = key(pos8[real])
+        np.testing.assert_allclose(
+            np.asarray(s1.position)[o1], pos8[real][o8], atol=1e-5
+        )
+        v1 = np.asarray(s1.velocity)[o1]
+        v8 = np.asarray(s8.velocity)[real][o8]
+        np.testing.assert_allclose(v1, v8, atol=1e-4 * np.abs(v1).max())
+        assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
+
+    def test_sharded_frame_matches_substep_loop(self):
+        """make_sharded_frame (whole frame's substep loop on device,
+        one scalar fetch per dispatch) must reproduce the per-substep
+        dispatch loop."""
+        from libclsph_tpu.parallel.sharded_step import make_sharded_frame
+
+        params = make_params(WATER, n=512)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        state0 = shard_state(pad_for_mesh(init_state(params), params, mesh, cfg), mesh)
+        dt0 = jnp.float32(params.max_dt)
+        frame_time = params.frame_time
+
+        # host-loop reference (the old per-substep path)
+        step = make_sharded_substep(mesh, params, None, cfg)
+        st, dt, timeleft = state0, dt0, frame_time
+        nsub = 0
+        while timeleft > 0.0:
+            st, dt_dev, _ = step(st, dt)
+            dt_f = float(dt_dev)
+            timeleft -= dt_f
+            dt = jnp.float32(min(dt_f, timeleft) if timeleft < dt_f else dt_f)
+            nsub += 1
+
+        frame = make_sharded_frame(mesh, params, None, cfg)
+        stf, dtf, tlf = state0, dt0, jnp.float32(frame_time)
+        ndisp = 0
+        while float(tlf) > 0.0:
+            stf, dtf, tlf, flags = frame(stf, dtf, tlf)
+            ndisp += 1
+            assert not int(flags)
+        assert nsub > 1  # the frame really loops substeps
+        assert ndisp < nsub  # and the host paid fewer dispatches
+
+        np.testing.assert_allclose(
+            np.asarray(st.position), np.asarray(stf.position), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.velocity), np.asarray(stf.velocity), atol=1e-6
+        )
+        # final dt is the frame's (tiny, possibly negative) time
+        # remainder — the reference's overshoot-rewind semantics
+        # (sph_simulation.cpp:391-394); f32-vs-f64 timeleft accumulation
+        # makes it match only absolutely
+        assert float(dt) == pytest.approx(float(dtf), abs=1e-7)
+
     def test_multiple_steps_stable(self):
         params = make_params(WATER, n=512)
         cfg = StepConfig(neighbor_impl="tiles", block_size=64, max_candidates=32)
@@ -354,3 +461,49 @@ class TestShardedEngine:
         assert saved[0].shape == (512, 3)
         assert np.isfinite(saved[-1]).all()
         assert saved[-1][:, 1].mean() < saved[0][:, 1].mean()  # fell
+
+    def test_intermediate_frames_on_mesh(self, tmp_path):
+        """write_all_frames on a mesh runs the per-substep path with
+        sub-frame callbacks (sph_simulation.cpp:378-409 semantics) —
+        previously silently per-frame only (r2 verdict missing #2)."""
+        import json as _json
+
+        from libclsph_tpu.engine.simulation import SPHSimulation
+
+        (tmp_path / "f.json").write_text(_json.dumps(WATER))
+        (tmp_path / "s.json").write_text(
+            _json.dumps(
+                dict(
+                    particles_count=512,
+                    particle_mass=0.05,
+                    simulation_time=0.016,
+                    target_fps=60,
+                    simulation_scale=0.1,
+                    write_all_frames=True,
+                    serialize=False,
+                    constant_acceleration=dict(x=0, y=-9.8, z=0),
+                )
+            )
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        sim = SPHSimulation(
+            step_config=StepConfig(
+                neighbor_impl="tiles", block_size=64, max_candidates=32
+            ),
+            mesh=mesh,
+        )
+        sim.load_settings(str(tmp_path / "f.json"), str(tmp_path / "s.json"))
+        sim.checkpoint_path = str(tmp_path / "ck.npz")
+        saved = []
+        pre_calls = []
+        sim.save_frame = lambda arrays, p: saved.append(arrays["position"].copy())
+        sim.pre_frame = (
+            lambda arrays, p, full: pre_calls.append(full) or False
+        )
+        sim.simulate()
+        # initial save + one save per SUBSTEP (not per frame)
+        assert len(saved) > 2
+        # per-substep pre_frame callbacks ran with is_full_frame=False
+        assert pre_calls and not all(pre_calls)
+        assert all(s.shape == (512, 3) for s in saved)
+        assert np.isfinite(saved[-1]).all()

@@ -352,6 +352,101 @@ def test_pallas_variants_match_tiles(rng, variant, q_rows, pair_r2):
     np.testing.assert_allclose(a1, a2, atol=acc_atol * np.abs(a1).max())
 
 
+@pytest.mark.parametrize("variant", ["nl", "asm"])
+@pytest.mark.parametrize("q_rows", [128, 64])
+def test_hit_compaction_matches_full(rng, variant, q_rows):
+    """The force pass on hit-compacted candidate lists reproduces the
+    full-list pass: a no-hit subblock (no pair within the support
+    radius) contributes exactly 0 to every force term, so dropping it
+    only changes f32 summation order."""
+    params = make_params(WATER, n=2048)
+    pos, vel = random_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant=variant,
+        nl_query_rows=q_rows, adaptive_dt=False,
+    )
+    s_full, _, _ = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(hit_compact=False, **base),
+    )
+    s_hit, _, ovf = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(hit_compact=True, **base),
+    )
+    assert not bool(ovf)
+    # density is computed before compaction — identical bits
+    np.testing.assert_array_equal(
+        np.asarray(s_full.density), np.asarray(s_hit.density)
+    )
+    a1, a2 = np.asarray(s_full.acceleration), np.asarray(s_hit.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+
+
+def test_hit_flags_semantics(rng):
+    """The density kernel's TRUE-HIT flags equal a brute-force pair
+    test: slot j of query block i flags iff subblock cand_sub[i, j]
+    has >= 1 particle within h of some particle of block i."""
+    from libclsph_tpu.core.state import ParticleState as _PS
+    from libclsph_tpu.ops import tiles as tiles_ops
+    from libclsph_tpu.ops.pallas import neighbor_nl as nl
+
+    n = 1024
+    params = make_params(WATER, n=n)
+    pos, vel = random_cloud(rng, params, n)
+    state = make_state(pos, vel)
+    grid = grid_ops.compute_bounds(state.position, params)
+    codes = grid_ops.locate_in_grid(state.position, grid)
+    state, _, _ = grid_ops.sort_by_cell(state, codes)
+    real = jnp.ones((n,), bool)
+    B = 128
+    blocked = tiles_ops.make_blocked(
+        state.position, state.velocity, state.density, state.pressure, real, B
+    )
+    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
+    cand, count, _ = tiles_ops.candidate_blocks(bmin, bmax, params.h, 64)
+    sub = B // nl.SUB
+    cand_sub, count_sub, _ = tiles_ops.refine_candidates_exact(
+        cand, count, bmin, bmax, blocked.position, params.h, sub, 96
+    )
+    terms = params.precomputed()
+    q_pos, _ = nl.make_query_planes(
+        state.position, state.velocity, state.density, state.pressure,
+        real, B, mass=params.particle_mass,
+    )
+    c_pos, _ = nl.make_csub_packs(
+        state.position, state.velocity, state.density, state.pressure,
+        real, mass=params.particle_mass,
+    )
+    _, hits = nl.fused_density_nl(
+        q_pos, c_pos, cand_sub, count_sub, params, terms, real,
+        want_hits=True,
+    )
+    hits = np.asarray(hits)
+    p = np.asarray(state.position).reshape(-1, B, 3)
+    psub = np.asarray(state.position).reshape(-1, nl.SUB, 3)
+    cs, cn = np.asarray(cand_sub), np.asarray(count_sub)
+    h2 = params.h * params.h
+    for i in range(cs.shape[0]):
+        for j in range(cs.shape[1]):
+            sid = cs[i, j]
+            if j >= cn[i] or sid >= psub.shape[0]:
+                assert hits[i, j] == 0.0, (i, j)
+                continue
+            d2 = ((p[i][:, None, :] - psub[sid][None, :, :]) ** 2).sum(-1)
+            assert (hits[i, j] > 0) == bool((d2 < h2).any()), (i, j)
+
+    # compact_hits keeps exactly the flagged slots and reports overflow
+    ch, cnh, ovf = tiles_ops.compact_hits(cand_sub, jnp.asarray(hits), 96)
+    want = np.sort(np.where(hits > 0, cs, tiles_ops.REFINE_SENTINEL), axis=1)
+    np.testing.assert_array_equal(np.asarray(ch), want[:, :96])
+    np.testing.assert_array_equal(np.asarray(cnh), (hits > 0).sum(1))
+    assert not bool(ovf)
+    tiny_cap = max(1, int((hits > 0).sum(1).max()) - 1)
+    _, _, ovf2 = tiles_ops.compact_hits(cand_sub, jnp.asarray(hits), tiny_cap)
+    assert bool(ovf2)
+
+
 @pytest.mark.parametrize("n", [100, 129, 2049])
 def test_odd_particle_counts(n):
     """Non-power-of-two and sub-block counts pad correctly through the

@@ -46,7 +46,7 @@ def _state_and_params(n=4096, seed=0):
 
 
 @pytest.mark.parametrize(
-    "variant,q_rows", [("nl", 128), ("nl", 32), ("row", 128)]
+    "variant,q_rows", [("nl", 128), ("nl", 32), ("row", 128), ("asm", 128)]
 )
 def test_mosaic_kernels_match_tiles(variant, q_rows):
     """Compile (interpret=False on TPU) and compare one substep's
@@ -66,6 +66,37 @@ def test_mosaic_kernels_match_tiles(variant, q_rows):
     d1 = np.asarray(st.density)
     d2 = np.asarray(sp.density)
     np.testing.assert_allclose(d1, d2, rtol=2e-5)
+    a1 = np.asarray(st.acceleration)
+    a2 = np.asarray(sp.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+
+
+def test_mosaic_hierarchical_regime_matches_tiles():
+    """The 1M-regime machinery — hierarchical candidate search,
+    exact-refine flat pack at scale, hit compaction — Mosaic-compiled
+    at 256k particles and asserted against the tiles pass (VERDICT r2
+    weak #6: the bf16 density-dot bug hid exactly in this blind spot).
+    """
+    from libclsph_tpu.engine.step import StepConfig, substep_jit
+    from libclsph_tpu.ops import tiles as tiles_ops
+
+    n = 262144
+    state, params = _state_and_params(n=n)
+    assert n // 128 > tiles_ops.HIERARCHICAL_THRESHOLD  # really hierarchical
+    dt = jnp.float32(1e-9)
+    cfg_t = StepConfig(
+        neighbor_impl="tiles", max_candidates=96, adaptive_dt=False
+    )
+    st, _, ft = substep_jit(state, dt, params, None, cfg_t)
+    cfg_p = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl", max_candidates=96,
+        max_candidates_sub=128, max_candidates_hit=96, adaptive_dt=False,
+    )
+    sp, _, fp = substep_jit(state, dt, params, None, cfg_p)
+    assert not int(ft) and not int(fp)
+    np.testing.assert_allclose(
+        np.asarray(st.density), np.asarray(sp.density), rtol=2e-5
+    )
     a1 = np.asarray(st.acceleration)
     a2 = np.asarray(sp.acceleration)
     np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
