@@ -42,8 +42,11 @@ from ..scene.scene import Scene
 from ..utils.logging import get_logger
 from .step import (
     FLAG_CAPACITY,
+    FLAG_CAPACITY_HIT,
+    FLAG_CAPACITY_SUB,
     FLAG_EXCHANGE,
     FLAG_GRID_DIM,
+    FLAGS_ALL_CAPACITY,
     StepConfig,
     frame_jit,
     substep_jit,
@@ -158,10 +161,14 @@ class SPHSimulation:
             grid_index=jnp.asarray(arrays["grid_index"], jnp.uint32),
         )
 
-    def _grow_capacity(self):
-        """Neighbour-capacity autotune: a substep reported that its
+    def _grow_capacity(self, flags: int):
+        """Neighbour-capacity autotune: a substep reported that a
         static candidate/cell capacity truncated real neighbours.
-        Double the relevant knob and recompile (new StepConfig = new
+        Double ONLY the overflowing table(s) — the capacity bits are
+        reported separately (engine/step.py FLAG_CAPACITY*) because a
+        coupled doubling re-grows every gather volume at once (measured
+        ~25% throughput loss at 2M when a block-cap overflow also
+        doubled the sub/hit tables). Recompile (new StepConfig = new
         jit cache entry); the caller re-runs the frame from its saved
         pre-frame state, so no corrupted step is ever kept."""
         cfg = self.step_config
@@ -172,18 +179,20 @@ class SPHSimulation:
                 "distribution is degenerate (all particles in one cell?)"
             )
         if cfg.neighbor_impl in ("tiles", "pallas"):
-            cfg = dataclasses.replace(
-                cfg,
-                max_candidates=cfg.max_candidates * 2,
-                max_candidates_sub=cfg.max_candidates_sub * 2,
-                max_candidates_hit=cfg.max_candidates_hit * 2,
-            )
-            grown = cfg.max_candidates
+            updates = {}
+            if flags & FLAG_CAPACITY:
+                updates["max_candidates"] = cfg.max_candidates * 2
+            if flags & FLAG_CAPACITY_SUB:
+                updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+            if flags & FLAG_CAPACITY_HIT:
+                updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
+            cfg = dataclasses.replace(cfg, **updates)
+            grown = updates
         else:
             cfg = dataclasses.replace(cfg, cell_capacity=cfg.cell_capacity * 2)
-            grown = cfg.cell_capacity
+            grown = {"cell_capacity": cfg.cell_capacity}
         log.warning(
-            "neighbour capacity overflow - growing to %s and re-running frame",
+            "neighbour capacity overflow - growing %s and re-running frame",
             grown,
         )
         self.step_config = cfg
@@ -205,8 +214,8 @@ class SPHSimulation:
                 "neighbour this one is more than halo_hops ring hops away; "
                 "increase halo_hops or use exchange='all_gather'"
             )
-        if f & FLAG_CAPACITY:
-            self._grow_capacity()
+        if f & FLAGS_ALL_CAPACITY:
+            self._grow_capacity(f)
             return True
         return False
 

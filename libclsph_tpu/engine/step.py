@@ -39,9 +39,16 @@ from ..ops import neighbors as neighbors_ops
 from ..ops import tiles as tiles_ops
 
 # Bits of the substep's device status flag (int32):
-FLAG_CAPACITY = 1  # static neighbour capacity truncated real neighbours
+FLAG_CAPACITY = 1  # block-level candidate / exact-path cell capacity
 FLAG_GRID_DIM = 2  # a grid axis reached the 10-bit Morton limit (1024)
 FLAG_EXCHANGE = 4  # ring halo_hops too small: a needed shard is out of reach
+FLAG_CAPACITY_SUB = 8  # refined subblock capacity (max_candidates_sub)
+FLAG_CAPACITY_HIT = 16  # hit-compacted force capacity (max_candidates_hit)
+# the three capacity bits are reported separately so the engine's
+# autotune grows ONLY the overflowing table: r2's coupled doubling
+# re-grew every gather volume at once (2M measured: a block-cap
+# overflow at 96 doubled sub/hit too and cost ~25% throughput)
+FLAGS_ALL_CAPACITY = FLAG_CAPACITY | FLAG_CAPACITY_SUB | FLAG_CAPACITY_HIT
 
 
 @jax.tree_util.register_static
@@ -134,7 +141,7 @@ def _density_forces_exact(
     )
     accel = interactions_ops.combine_forces(f, density, params)
     overflow = neighbors_ops.max_cell_occupancy(sorted_codes) > config.cell_capacity
-    return density, pressure, accel, overflow
+    return density, pressure, accel, overflow.astype(jnp.int32) * FLAG_CAPACITY
 
 
 def _density_forces_tiles(
@@ -168,7 +175,7 @@ def _density_forces_tiles(
         pressure=pressure.reshape(blocked.pressure.shape),
     )
     accel = tiles_ops.force_pass(blocked, cand, count, params, terms, cfg)
-    return density, pressure, accel, overflow
+    return density, pressure, accel, overflow.astype(jnp.int32) * FLAG_CAPACITY
 
 
 def _density_forces_pallas(
@@ -231,7 +238,7 @@ def _density_forces_pallas(
     accel = pallas_neighbor.fused_forces(
         planes, cand, count, params, terms, real, density
     )
-    return density, pressure, accel, overflow
+    return density, pressure, accel, overflow.astype(jnp.int32) * FLAG_CAPACITY
 
 
 def _density_forces_pallas_nl(
@@ -320,7 +327,10 @@ def _density_forces_pallas_nl(
             cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
             config.max_candidates_sub, self_lo=self_lo, self_width=sub,
         )
-    overflow = ovf | ovf2
+    flags = (
+        ovf.astype(jnp.int32) * FLAG_CAPACITY
+        + ovf2.astype(jnp.int32) * FLAG_CAPACITY_SUB
+    )
 
     mass = params.particle_mass
     asm = config.pallas_variant == "asm"
@@ -345,7 +355,7 @@ def _density_forces_pallas_nl(
             cand_sub, hits[:, : cand_sub.shape[1]], config.max_candidates_hit,
             self_lo=self_lo, self_width=sub,
         )
-        overflow = overflow | ovf3
+        flags = flags + ovf3.astype(jnp.int32) * FLAG_CAPACITY_HIT
     else:
         density = fused_density(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
@@ -367,7 +377,7 @@ def _density_forces_pallas_nl(
         q_force, c_force_pack, cand_f, count_f, params, terms, real,
         density, r2_mxu=r2_mxu,
     )
-    return density, pressure, accel, overflow
+    return density, pressure, accel, flags
 
 
 def _advect_collide(
@@ -462,9 +472,9 @@ def substep(
             if config.neighbor_impl == "tiles"
             else _density_forces_pallas
         )
-        density, pressure, accel, overflow = impl(state, real, params, config)
+        density, pressure, accel, cap_flags = impl(state, real, params, config)
     else:
-        density, pressure, accel, overflow = _density_forces_exact(
+        density, pressure, accel, cap_flags = _density_forces_exact(
             state, sorted_codes, params, config
         )
     state = state.replace(density=density, pressure=pressure, acceleration=accel)
@@ -499,10 +509,7 @@ def substep(
     else:
         final_state, dt_out = first_state, first_dt
 
-    flags = (
-        overflow.astype(jnp.int32) * FLAG_CAPACITY
-        + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
-    )
+    flags = cap_flags + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
     return final_state, dt_out, flags
 
 

@@ -41,6 +41,8 @@ from ..core.params import SimulationParameters
 from ..core.state import ParticleState
 from ..engine.step import (
     FLAG_CAPACITY,
+    FLAG_CAPACITY_HIT,
+    FLAG_CAPACITY_SUB,
     FLAG_EXCHANGE,
     FLAG_GRID_DIM,
     StepConfig,
@@ -93,7 +95,7 @@ def _nl_passes(
     engine.step._density_forces_pallas_nl. ``pos_fields`` /
     ``force_fields(blocked)`` provide the candidate-side tables
     (all-gathered or local+halo). Returns (density, pressure, accel,
-    overflow). ``center``: shared coordinate centre for the MXU-r2
+    nl_flags int32). ``center``: shared coordinate centre for the MXU-r2
     path (config.pair_r2), identical on every shard (from the global
     pmin/pmax bounds)."""
     from ..ops.pallas import neighbor_nl as nl
@@ -174,8 +176,8 @@ def _nl_passes(
             cand_sub, hits[:, : cand_sub.shape[1]], config.max_candidates_hit,
             self_lo=self_lo, self_width=sub,
         )
-        ovf = ovf | ovf_h
     else:
+        ovf_h = jnp.zeros((), jnp.bool_)
         density = nl.fused_density_nl(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
             r2_mxu=r2_mxu,
@@ -198,7 +200,13 @@ def _nl_passes(
         q_force, c_force_pack, cand_f, count_f, params, terms,
         valid_s, density, r2_mxu=r2_mxu,
     )
-    return density, pressure, accel, ovf
+    # granular capacity bits so the engine autotune grows only the
+    # overflowing table (engine/step.py FLAG_CAPACITY* rationale)
+    nl_flags = (
+        ovf.astype(jnp.int32) * FLAG_CAPACITY_SUB
+        + ovf_h.astype(jnp.int32) * FLAG_CAPACITY_HIT
+    )
+    return density, pressure, accel, nl_flags
 
 
 def _local_substep(
@@ -488,14 +496,14 @@ def _local_substep(
     # ---- density + forces over the exchanged candidate tables,
     # by the configured backend (tiles, or the nl Pallas kernels)
     if config.neighbor_impl == "pallas":
-        density, pressure, accel, nl_ovf = _nl_passes(
+        density, pressure, accel, nl_flags = _nl_passes(
             state_s, blocked, bmin, bmax, cand, count,
             pos_fields, force_fields, valid_s,
             shard * n_local, params, terms, config,
             center=0.5 * (pos_min + pos_max),
             self_index=self_index,
         )
-        overflow = overflow | nl_ovf
+        cap_flags = overflow.astype(jnp.int32) * FLAG_CAPACITY + nl_flags
     else:
         density = tiles_ops.density_pass(
             blocked, cand, count, params, terms, cfg, cand_fields=pos_fields
@@ -511,6 +519,7 @@ def _local_substep(
             blocked, cand, count, params, terms, cfg,
             cand_fields=force_fields(blocked),
         )
+        cap_flags = overflow.astype(jnp.int32) * FLAG_CAPACITY
     accel = jnp.where(valid_s[:, None], accel, 0.0)
 
     state_s = state_s.replace(
@@ -565,11 +574,17 @@ def _local_substep(
         final_state, dt_out = first_state, first_dt
 
     flags = (
-        overflow.astype(jnp.int32) * FLAG_CAPACITY
+        cap_flags
         + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
         + exchange_bad.astype(jnp.int32) * FLAG_EXCHANGE
     )
-    flags = jax.lax.pmax(flags, AXIS)
+    # cross-shard combine must be a bitwise OR, not a plain max: two
+    # shards flagging DIFFERENT bits (e.g. CAPACITY_SUB=8 on one,
+    # CAPACITY_HIT=16 on another) would lose the smaller bit under
+    # pmax of the packed field. pmax per bit == OR.
+    bit = jnp.arange(8, dtype=jnp.int32)
+    bits = jax.lax.pmax((flags >> bit) & 1, AXIS)
+    flags = jnp.sum(bits << bit)
     return final_state, dt_out, flags
 
 
