@@ -60,9 +60,11 @@ def main():
         "--pallas-variant", default="nl", choices=["nl", "asm", "row", "fine", "asym"]
     )
     ap.add_argument("--nl-query-rows", type=int, default=128)
-    ap.add_argument("--max-candidates-sub", type=int, default=192)
-    ap.add_argument("--max-candidates-hit", type=int, default=128)
+    ap.add_argument("--max-candidates-sub", type=int, default=128)
+    ap.add_argument("--max-candidates-hit", type=int, default=96)
     ap.add_argument("--no-hit-compact", action="store_true")
+    ap.add_argument("--force-query-rows", type=int, default=128,
+                    choices=[32, 128])
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -86,6 +88,7 @@ def main():
         max_candidates_sub=args.max_candidates_sub,
         max_candidates_hit=args.max_candidates_hit,
         hit_compact=not args.no_hit_compact,
+        force_query_rows=args.force_query_rows,
     )
 
     scene_dev = None
@@ -106,8 +109,12 @@ def main():
     # (mirrors the engine's autotune) so the timed physics is exact
     import dataclasses
 
+    from libclsph_tpu.engine.step import (
+        FLAG_CAPACITY, FLAG_CAPACITY_HIT, FLAG_CAPACITY_SUB,
+    )
+
     t0 = time.perf_counter()
-    for _ in range(4):
+    for _ in range(6):
         s_try, d_try = state, dt
         overflow = jnp.int32(0)
         for _ in range(args.warmup):
@@ -115,15 +122,19 @@ def main():
             overflow = overflow | flags  # OR across substeps: a NaN'd
             # state stops overflowing, masking an early truncation
         jax.block_until_ready(s_try.position)
-        if not bool(overflow):
+        ovf = int(overflow)
+        if not ovf:
             break
-        cfg = dataclasses.replace(
-            cfg,
-            max_candidates=cfg.max_candidates * 2,
-            max_candidates_sub=cfg.max_candidates_sub * 2,
-            max_candidates_hit=cfg.max_candidates_hit * 2,
-        )
-        log(f"capacity overflow -> max_candidates={cfg.max_candidates}")
+        # grow only the flagged table (mirrors the engine autotune)
+        updates = {}
+        if ovf & FLAG_CAPACITY:
+            updates["max_candidates"] = cfg.max_candidates * 2
+        if ovf & FLAG_CAPACITY_SUB:
+            updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+        if ovf & FLAG_CAPACITY_HIT:
+            updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
+        cfg = dataclasses.replace(cfg, **updates)
+        log(f"capacity overflow -> {updates}")
     state, dt = s_try, d_try
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
 

@@ -64,7 +64,10 @@ class StepConfig:
     # 'nl' (gathered 32-particle subblocks, ~3-4x less pair volume) |
     # 'row' (128x128 prefetch-DMA) | 'fine' (32-query rows) | 'asym'
     pallas_variant: str = "nl"
-    max_candidates_sub: int = 192  # nl variant: refined subblock cap
+    # nl variant: refined subblock cap. 128 fits the 1M cube dam-break
+    # with the rounded-box exact refine (measured max ~120 at impact);
+    # the engine autotune doubles it (and only it) on overflow.
+    max_candidates_sub: int = 128
     # nl variant: query rows per kernel tile (128 | 64 | 32). Finer
     # query blocks shrink the dilated query box and with it the
     # refined candidate volume (~35% fewer pair tests at 32 vs 128 on
@@ -86,7 +89,16 @@ class StepConfig:
     # carries the hard r<h cutoff clamp, so dropping no-hit subblocks
     # is physics-exact.
     hit_compact: bool = True
-    max_candidates_hit: int = 128  # force-pass capacity after compaction
+    max_candidates_hit: int = 96  # force-pass capacity after compaction
+    # Force-pass query granularity (nl variant + hit_compact only).
+    # 32: the density kernel emits hit flags per 32-row QUERY SUBGROUP
+    # (4 planes instead of 1, ~2 extra vreg ops) and the force pass
+    # runs (32, 128) pair panels against per-subgroup hit lists
+    # (ops/pallas/neighbor_nl.py fused_forces_nl32) — measured
+    # true-hit volume 807 vs 1677 slots/particle at 1M
+    # (experiments/volume_probe.py). 128: the round-3 whole-block
+    # force pass. Only takes effect when nl_query_rows == 128.
+    force_query_rows: int = 128
     # nl/asm pair-distance path. 'vpu' (default): elementwise
     # dx^2+dy^2+dz^2. 'mxu': one K=5 dot on the matrix unit from
     # domain-centred coordinates — measured SLOWER on v5e (the MXU is
@@ -346,7 +358,30 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, state.density, state.pressure,
         real, mass=mass, center=center,
     )
-    if config.hit_compact:
+    force_q32 = (
+        config.force_query_rows == 32
+        and config.hit_compact
+        and not asm
+        and q_rows == 128
+    )
+    if force_q32:
+        # per-QUERY-SUBGROUP hit lists: 807 vs 1677 true-hit
+        # slots/particle at 1M (experiments/volume_probe.py), no extra
+        # refine work — the density kernel's flags carry the split
+        density, hits = fused_density(
+            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
+            r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
+        )
+        # per-subgroup caps halve (≈0.48x mean volume per subgroup)
+        cap32 = max(32, config.max_candidates_hit // 2)
+        cand_f, count_f, ovf3 = tiles_ops.compact_hits(
+            jnp.repeat(cand_sub, nl.QG, axis=0),
+            hits[:, : cand_sub.shape[1]],
+            cap32,
+            self_lo=jnp.repeat(self_lo, nl.QG), self_width=sub,
+        )
+        flags = flags + ovf3.astype(jnp.int32) * FLAG_CAPACITY_HIT
+    elif config.hit_compact:
         density, hits = fused_density(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
             r2_mxu=r2_mxu, want_hits=True,
@@ -373,10 +408,16 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, density, pressure, real, mass=mass,
         center=center,
     )
-    accel = fused_forces(
-        q_force, c_force_pack, cand_f, count_f, params, terms, real,
-        density, r2_mxu=r2_mxu,
-    )
+    if force_q32:
+        accel = nl.fused_forces_nl32(
+            q_force, c_force_pack, cand_f, count_f, params, terms, real,
+            density, r2_mxu=r2_mxu,
+        )
+    else:
+        accel = fused_forces(
+            q_force, c_force_pack, cand_f, count_f, params, terms, real,
+            density, r2_mxu=r2_mxu,
+        )
     return density, pressure, accel, flags
 
 

@@ -447,7 +447,7 @@ def _r2_mxu(col, row):
 
 
 def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
-                         hit_slot=None, hit_rows=0, sub=32):
+                         hit_slot=None, hit_rows=0, sub=32, hit_groups=1):
     """Row-output density tile: the lane reduction is ONE MXU
     dot_general against a ones row and the accumulator is lane-major
     (a (B, 1) column op costs 16 nearly-empty vregs on TPU; a (1, B)
@@ -466,7 +466,18 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
     exactly 0 (all terms carry the hr/t cutoff clamps) — dropping it
     is physics-exact, not an approximation. The B/sub per-quarter ORs
     compress through one 0/1 matmul (counts <= B are exact in bf16)
-    and land on their slot lanes with one dynamic roll."""
+    and land on their slot lanes with one dynamic roll.
+
+    ``hit_groups``: emit flags at QUERY-SUBGROUP granularity — the
+    query block's Bq rows are split into hit_groups runs of Bq/G rows
+    and each gets its own flag plane (subgroup g's plane occupies out
+    rows 1 + g*hit_rows .. 1 + (g+1)*hit_rows). Measured at 1M, the
+    true-hit pair volume at (q32, c32) is 807 slots/particle vs 1677
+    at (q128, c32) (experiments/volume_probe.py) — subgroup flags let
+    the force pass run at that volume with NO extra refine work. The
+    per-subgroup any() compresses through one extra 0/1 matmul
+    (selector (G, Bq) @ incl (Bq, Bc): counts <= Bq are exact in the
+    MXU's f32 accumulation)."""
     h2 = h * h
     if r2_mxu:
         r2 = _r2_mxu(col, row)
@@ -491,8 +502,24 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
         if hit_slot is not None:
             bq, bc = incl.shape  # query width (out lanes), cand lanes
             group = bc // sub
-            # any over query rows -> (1, Bc) lane vector of pair hits
-            hq = jnp.any(incl, axis=0, keepdims=True).astype(jnp.float32)
+            if hit_groups == 1:
+                # any over query rows -> (1, Bc) lane vector of pair hits
+                hq = jnp.any(incl, axis=0, keepdims=True).astype(jnp.float32)
+            else:
+                # per-subgroup hit counts: selector (G, Bq) @ incl
+                # (Bq, Bc) — 0/1 operands, f32 accumulate: exact
+                qg = bq // hit_groups
+                g_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (hit_groups, bq), 0
+                )
+                g_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (hit_groups, bq), 1
+                )
+                gsel = (g_lane // qg == g_row).astype(jnp.float32)
+                hq = jax.lax.dot_general(
+                    gsel, incl.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (G, Bc) counts; > 0 iff subgroup g hit lane c
             lane = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0)
             quarter = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
             s_mat = (lane // sub == quarter).astype(jnp.float32)
@@ -500,18 +527,21 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
             q4 = jax.lax.dot_general(
                 hq, s_mat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # (G, group)
             # roll on the full 128-lane row (Mosaic's dynamic rotate
             # requires lane-aligned shapes), then narrow to the out
             # width: q4 is nonzero only in lanes 0..group-1 and the
             # roll amount is <= bq - group, so the flags always land
             # inside [0, bq) with no wrap
             rolled = pltpu.roll(q4, hit_slot % bq, axis=1)[:, :bq]
+            if hit_rows > 1:
+                # subgroup g's plane = rows [g*hit_rows, (g+1)*hit_rows)
+                rolled = pltpu.repeat(rolled, hit_rows, axis=0)
             rowi = jax.lax.broadcasted_iota(
-                jnp.int32, (hit_rows, bq), 0
+                jnp.int32, (hit_groups * hit_rows, bq), 0
             )
-            out[0, 1 : 1 + hit_rows, :] += jnp.where(
-                rowi == hit_slot // bq, rolled, 0.0
+            out[0, 1 : 1 + hit_groups * hit_rows, :] += jnp.where(
+                rowi % hit_rows == hit_slot // bq, rolled, 0.0
             )
 
 

@@ -337,7 +337,8 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
     return out.reshape((-1,) + out.shape[2:])[:nb]
 
 
-def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0):
+def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
+                    hit_groups=1):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -359,6 +360,7 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0):
                 out,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
                 hit_slot=hit_slot, hit_rows=hit_rows, sub=SUB,
+                hit_groups=hit_groups,
             )
 
 
@@ -374,41 +376,45 @@ def fused_density_nl(
     interpret: bool | None = None,
     r2_mxu: bool = False,
     want_hits: bool = False,
+    hit_groups: int = 1,
 ):
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
     make_csub_packs.
 
-    ``want_hits``: also return (nb, mp) float hit counters (> 0 iff
-    the slot's subblock has a true pair inside the support radius for
-    this query block), slot-aligned with the padded ``cand_sub`` —
-    the force pass's hit-compaction input (see _density_core_rowout).
-    """
+    ``want_hits``: also return float hit counters (> 0 iff the slot's
+    subblock has a true pair inside the support radius), slot-aligned
+    with the padded ``cand_sub`` — the force pass's hit-compaction
+    input (see _density_core_rowout). Shape (nb, mp) at the default
+    ``hit_groups=1``; with hit_groups=G the counters are per
+    QUERY-SUBGROUP of bq/G rows, shape (nb*G, mp) with group-major
+    rows, feeding the q32-granular force pass (fused_forces_nl32)."""
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
     mp = cand_sub.shape[1]
     bq = q_pos.shape[2]  # query width = out lane extent
     hit_rows = 0
+    out_rows = 8
     if want_hits:
         hit_rows = -(-mp // bq)
-        if hit_rows > 7:
-            raise ValueError(
-                f"refined capacity {mp} exceeds the 7x{bq} hit-flag "
-                "rows of the density accumulator"
-            )
+        flag_rows = hit_groups * hit_rows
+        # density row 0 + flag rows, rounded to whole (8, 128) tiles
+        out_rows = max(8, -(-(1 + flag_rows) // 8) * 8)
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
-        r2_mxu=r2_mxu, hit_rows=hit_rows,
+        r2_mxu=r2_mxu, hit_rows=hit_rows, hit_groups=hit_groups,
     )
     wsum = _nl_call(
-        kernel, q_pos, c_pos_pack, cand_sub, count_tiles, 8, interpret
+        kernel, q_pos, c_pos_pack, cand_sub, count_tiles, out_rows, interpret
     )
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     density = jnp.where(real_flat, density, params.fluid_density)
     if not want_hits:
         return density
     nb = wsum.shape[0]
-    hits = wsum[:, 1 : 1 + hit_rows, :].reshape(nb, hit_rows * bq)
+    hits = wsum[:, 1 : 1 + hit_groups * hit_rows, :].reshape(
+        nb * hit_groups, hit_rows * bq
+    )
     return density, hits[:, :mp]
 
 
@@ -500,7 +506,292 @@ def _combine_forces(sums, params, real_flat, density):
 
 
 # ----------------------------------------------------------------------
-# "asm" variant: in-kernel subblock assembly.
+# q32 force pass: (32, 128) pair panels against per-QUERY-SUBGROUP
+# hit-compacted candidate lists.
+#
+# The true-hit pair volume at 1M is 1677 slots/particle at (q128, c32)
+# granularity but 807 at (q32, c32) (experiments/volume_probe.py) —
+# and the kernels are VPU-bound on pair-panel math, so halving the
+# volume halves the dominant cost. The density kernel's subgroup hit
+# flags (hit_groups=4) provide per-32-row candidate lists with NO
+# extra refine work; this kernel consumes them with (32, 128) panels:
+# the query side is a 32-sublane slice of the existing column pack
+# (BlockSpec index i%4 picks the subgroup — queries were ALWAYS on
+# sublanes, so the slice is free), candidates stay on 128 lanes
+# (today's tile assembly unchanged). Per-slot VPU cost is identical —
+# a (32, 128) op is exactly 4 of the 16 vregs of a (128, 128) op.
+#
+# Reduction layout: the per-tile dot packs [a_reg | b_mat | g_mat |
+# l_mat] as its 4x32 = 128 lhs rows, so ONE dot yields every
+# cancellation-prone sum, and the (7, 128) results accumulate in an
+# f32 scratch; the per-group finalize does the Kelager combines once
+# and lane-rolls the (1, 32) outputs to the subgroup's lane range of
+# the SHARED (nb, 10, 128) out block — downstream combine code is
+# untouched.
+# ----------------------------------------------------------------------
+
+Q32 = 32  # query subgroup rows
+QG = LANES // Q32  # subgroups per 128-row query block
+
+
+def _forces_pair_q32(col, row, qrow, acc, *, h, spiky, visc, poly6_grad,
+                     poly6_lap, eps, r2_mxu=False):
+    """One (32 query, 128 candidate) force pair tile, accumulating raw
+    sums into the ``acc`` (8, 128) f32 scratch (rows 0..6 = the dot's
+    (7, 128) result, row 7 lanes 0..31 = the singular-branch sum).
+    Physics identical to _forces_core_rowout; same tile-centred
+    cancellation control (c0 = the parent query block's first
+    particle — block-scale centring, see _forces_core_rowout)."""
+    from .neighbor import (
+        _CGID, _CMR, _CPM, _CVX, _CVY, _CVZ, _CX, _CY, _CZ,
+        _QGID, _QPM, _QVX, _QVY, _QVZ, _QX, _QY, _QZ,
+        _r2_mxu, _reduce_dot,
+    )
+
+    h2 = h * h
+    if r2_mxu:
+        r2 = _r2_mxu(col, row)
+    else:
+        dx = col(_QX) - row(_CX)
+        dy = col(_QY) - row(_CY)
+        dz = col(_QZ) - row(_CZ)
+        r2 = dx * dx + dy * dy + dz * dz
+    incl_b = r2 < h2
+
+    @pl.when(jnp.any(incl_b))
+    def _():
+        near0 = r2 < eps * eps
+        inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
+        r = r2 * inv_r
+        near0f = near0.astype(jnp.float32)
+
+        not_self = (col(_QGID) != row(_CGID)).astype(jnp.float32)
+        hr = jnp.maximum(h - r, 0.0)
+        t = jnp.maximum(h2 - r2, 0.0)
+        b_mat = (visc * row(_CMR)) * hr
+        u = row(_CMR) * t
+
+        p_coeff = (row(_CPM) + col(_QPM)) * not_self
+        spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
+        a_reg = p_coeff * spiky_s
+        sing = p_coeff * (spiky * near0f)
+        g_mat = (poly6_grad * u) * t
+        l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
+
+        c0 = [qrow[0, k, 0] for k in range(6)]
+        ones = jnp.ones_like(row(_CX))
+        rhs = jnp.concatenate(
+            [row(_CX) - c0[0], row(_CY) - c0[1], row(_CZ) - c0[2],
+             row(_CVX) - c0[3], row(_CVY) - c0[4], row(_CVZ) - c0[5],
+             ones], axis=0)  # (7, 128)
+        # lhs rows: [a_reg | b_mat | g_mat | l_mat] = 4*32 = 128 — one
+        # dot covers every sum incl. the colour laplacian (its only
+        # used result row is ones); lanes of res follow the lhs rows.
+        lhs = jnp.concatenate([a_reg, b_mat, g_mat, l_mat], axis=0)
+        res = _reduce_dot(rhs, lhs, (((1,), (1,)), ((), ())))  # (7, 128)
+        acc[0:7, :] += res
+        # coincident-pair singular branch: plain lane sum, narrow dot
+        sing_sum = _reduce_dot(
+            ones, sing, (((1,), (1,)), ((), ())), lhs_exact=True,
+            mode="split3",
+        )  # (1, 32)
+        acc[7:8, :] += jnp.concatenate(
+            [sing_sum, jnp.zeros((1, LANES - Q32), jnp.float32)], axis=1
+        )
+
+
+def _forces_finalize_q32(acc, qrow, out, g):
+    """Per-subgroup combine (forces.cl:110-122 structure, identical to
+    _forces_core_rowout's post-dot step) from the accumulated raw sums,
+    then lane-roll the (1, 32) outputs into the subgroup's lane range
+    [g*32, (g+1)*32) of the shared (1, 10, 128) out block. All rolls
+    are full-128-lane (Mosaic's dynamic-rotate shape rule)."""
+    from .neighbor import (
+        _OLAP, _ONX, _ONY, _ONZ, _OPX, _OPY, _OPZ, _OVX, _OVY, _OVZ,
+    )
+
+    c0 = [qrow[0, k, 0] for k in range(6)]
+    shift_q = (LANES - g * Q32) % LANES  # bring subgroup lanes to 0..31
+
+    def qrow_g(k):
+        return pltpu.roll(qrow[0, k : k + 1, :], shift_q, axis=1)
+
+    def seg(r, o):
+        # acc row r, lane segment [o, o+32) brought to lanes 0..31
+        row = acc[r : r + 1, :]
+        return pltpu.roll(row, LANES - o, axis=1) if o else row
+
+    qx = qrow_g(0) - c0[0]
+    qy = qrow_g(1) - c0[1]
+    qz = qrow_g(2) - c0[2]
+    qvx = qrow_g(3) - c0[3]
+    qvy = qrow_g(4) - c0[4]
+    qvz = qrow_g(5) - c0[5]
+    # dot lane layout: [a_reg | b_mat | g_mat | l_mat] x 32
+    sum_a, sum_b, sum_g, sum_l = (seg(6, o) for o in (0, 32, 64, 96))
+    sum_sing = acc[7:8, :]
+    vals = [None] * 10
+    vals[_OPX] = qx * sum_a - seg(0, 0) + sum_sing
+    vals[_OPY] = qy * sum_a - seg(1, 0) + sum_sing
+    vals[_OPZ] = qz * sum_a - seg(2, 0) + sum_sing
+    vals[_OVX] = seg(3, 32) - qvx * sum_b
+    vals[_OVY] = seg(4, 32) - qvy * sum_b
+    vals[_OVZ] = seg(5, 32) - qvz * sum_b
+    vals[_ONX] = qx * sum_g - seg(0, 64)
+    vals[_ONY] = qy * sum_g - seg(1, 64)
+    vals[_ONZ] = qz * sum_g - seg(2, 64)
+    vals[_OLAP] = sum_l
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    maskg = (lane >= g * Q32) & (lane < (g + 1) * Q32)
+    shift_back = g * Q32
+    for r, v in enumerate(vals):
+        rolled = pltpu.roll(v, shift_back, axis=1)
+        out[0, r : r + 1, :] += jnp.where(maskg, rolled, 0.0)
+
+
+def _forces_kernel_q32(count_ref, q, qrow, c, out, acc, *, h, spiky, visc,
+                       poly6_grad, poly6_lap, eps, r2_mxu):
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+    g = jax.lax.rem(i, QG)
+
+    @pl.when((m == 0) & (g == 0))
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    @pl.when(m == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    for s in range(TPS):
+
+        @pl.when(m * TPS + s < count_ref[i])
+        def _(s=s):
+            tile = _tile_from_raw(c, s, 3)  # (12, 128); rows 9-11 pads
+            _forces_pair_q32(
+                lambda k: q[0, k],
+                lambda k: tile[k : k + 1, :],
+                qrow, acc,
+                h=h, spiky=spiky, visc=visc,
+                poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+                r2_mxu=r2_mxu,
+            )
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _():
+        _forces_finalize_q32(acc, qrow, out, g)
+
+
+def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret):
+    """Driver for the q32 force kernel: grid (nb*QG, mg) where 4
+    consecutive i's share one query block (and one out block — the
+    finalize writes disjoint lane ranges). Chunked like _nl_call, with
+    chunks kept QG-aligned so subgroups never straddle a chunk."""
+    nb4 = cand_sub.shape[0]
+    nb = q.shape[0]
+    if nb4 != nb * QG:
+        raise ValueError("cand rows must be nb*QG (per-subgroup lists)")
+    f_q, b = q.shape[1], q.shape[2]
+    fs = cpack.shape[1]
+    mp = cand_sub.shape[1]
+    mg = mp // (TPS * GROUP)
+    dead = cpack.shape[0] - 1
+    q_row = q[..., 0]
+    chunk = max(1, min(nb4, NL_CHUNK_BYTES // (mp * fs * 4)))
+    chunk = max(QG, (chunk // QG) * QG)
+
+    def run_chunk(args):
+        cand_c, count_c, qc, qrow_c = args
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cand_c.shape[0], mg),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, f_q, Q32, 1),
+                    lambda i, m, n_: (i // QG, 0, i % QG, 0),
+                ),
+                pl.BlockSpec(
+                    (1, f_q, b), lambda i, m, n_: (i // QG, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (TPS * GROUP, fs), lambda i, m, n_: (i * mg + m, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, out_rows, b), lambda i, m, n_: (i // QG, 0, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
+        )
+        raw = gather_raw(cpack, cand_c)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (cand_c.shape[0] // QG, out_rows, b), jnp.float32
+            ),
+            interpret=interpret,
+        )(count_c, qc, qrow_c, raw)
+
+    if chunk >= nb4:
+        return run_chunk((cand_sub, count_tiles, q, q_row))
+    nch = -(-nb4 // chunk)
+    pad4 = nch * chunk - nb4
+    padq = pad4 // QG
+
+    def cc(a, fill, pad):
+        if pad:
+            tail = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            a = jnp.concatenate([a, tail], axis=0)
+        return a.reshape((nch, -1) + a.shape[1:])
+
+    out = jax.lax.map(
+        run_chunk,
+        (
+            cc(cand_sub, dead, pad4),
+            cc(count_tiles, 0, pad4),
+            cc(q, 0, padq),
+            cc(q_row, 0, padq),
+        ),
+    )
+    return out.reshape((-1,) + out.shape[2:])[:nb]
+
+
+def fused_forces_nl32(
+    q_force: jnp.ndarray,
+    c_force_pack: jnp.ndarray,
+    cand_hit32: jnp.ndarray,
+    count_hit32: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    real_flat: jnp.ndarray,
+    density: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    r2_mxu: bool = False,
+) -> jnp.ndarray:
+    """Flat (n, 3) acceleration from per-QUERY-SUBGROUP hit lists
+    (``cand_hit32``/``count_hit32`` shaped (nb*QG, cap): subgroup g of
+    query block i is row i*QG+g — the layout fused_density_nl's
+    hit_groups=QG counters compact to). Physics identical to
+    fused_forces_nl at ~half the pair volume (807 vs 1677
+    slots/particle at 1M, experiments/volume_probe.py)."""
+    interpret = _interpret_default() if interpret is None else interpret
+    cand_hit32, count_tiles = _pad_groups(cand_hit32, count_hit32)
+    kernel = functools.partial(
+        _forces_kernel_q32,
+        h=float(params.h),
+        spiky=float(terms.spiky),
+        visc=float(terms.viscosity),
+        poly6_grad=float(terms.poly_6_gradient),
+        poly6_lap=float(terms.poly_6_laplacian),
+        eps=smoothing.EPSILON,
+        r2_mxu=r2_mxu,
+    )
+    sums = _nl32_call(
+        kernel, q_force, c_force_pack, cand_hit32, count_tiles, 10, interpret
+    )
+    return _combine_forces(sums, params, real_flat, density)
 #
 # The XLA pre-gather above costs ~125 ms/substep at 1M (jnp.take runs
 # at ~36 GB/s effective and the lane-packing transpose adds as much

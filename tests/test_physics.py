@@ -447,6 +447,97 @@ def test_hit_flags_semantics(rng):
     assert bool(ovf2)
 
 
+def test_force_q32_matches_q128(rng):
+    """The q32 force pass (per-query-subgroup hit lists + (32, 128)
+    pair panels, neighbor_nl.fused_forces_nl32) reproduces the
+    whole-block force pass up to f32 summation order."""
+    params = make_params(WATER, n=2048)
+    pos, vel = random_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+        max_candidates_sub=96, max_candidates_hit=64,
+    )
+    s128, _, _ = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(force_query_rows=128, **base),
+    )
+    s32, _, ovf = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(force_query_rows=32, **base),
+    )
+    assert not bool(ovf)
+    np.testing.assert_array_equal(
+        np.asarray(s128.density), np.asarray(s32.density)
+    )
+    a1 = np.asarray(s128.acceleration)
+    a2 = np.asarray(s32.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+
+
+def test_subgroup_hit_flags_semantics(rng):
+    """hit_groups=4 density flags equal a brute-force per-subgroup
+    pair test: row i*4+g, slot j flags iff subblock cand_sub[i, j] has
+    >= 1 particle within h of some particle of ROWS [g*32, (g+1)*32)
+    of query block i."""
+    from libclsph_tpu.ops import tiles as tiles_ops
+    from libclsph_tpu.ops.pallas import neighbor_nl as nl
+
+    n = 1024
+    params = make_params(WATER, n=n)
+    pos, vel = random_cloud(rng, params, n)
+    state = make_state(pos, vel)
+    grid = grid_ops.compute_bounds(state.position, params)
+    codes = grid_ops.locate_in_grid(state.position, grid)
+    state, _, _ = grid_ops.sort_by_cell(state, codes)
+    real = jnp.ones((n,), bool)
+    B = 128
+    blocked = tiles_ops.make_blocked(
+        state.position, state.velocity, state.density, state.pressure, real, B
+    )
+    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
+    cand, count, _ = tiles_ops.candidate_blocks(bmin, bmax, params.h, 64)
+    sub = B // nl.SUB
+    cand_sub, count_sub, _ = tiles_ops.refine_candidates_exact(
+        cand, count, bmin, bmax, blocked.position, params.h, sub, 96
+    )
+    terms = params.precomputed()
+    q_pos, _ = nl.make_query_planes(
+        state.position, state.velocity, state.density, state.pressure,
+        real, B, mass=params.particle_mass,
+    )
+    c_pos, _ = nl.make_csub_packs(
+        state.position, state.velocity, state.density, state.pressure,
+        real, mass=params.particle_mass,
+    )
+    d1 = nl.fused_density_nl(
+        q_pos, c_pos, cand_sub, count_sub, params, terms, real
+    )
+    d4, hits4 = nl.fused_density_nl(
+        q_pos, c_pos, cand_sub, count_sub, params, terms, real,
+        want_hits=True, hit_groups=nl.QG,
+    )
+    # the flag planes must not perturb the density row
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d4))
+    hits4 = np.asarray(hits4)
+    pq = np.asarray(state.position).reshape(-1, nl.Q32, 3)  # (nb*4, 32, 3)
+    psub = np.asarray(state.position).reshape(-1, nl.SUB, 3)
+    cs, cn = np.asarray(cand_sub), np.asarray(count_sub)
+    h2 = params.h * params.h
+    for i in range(cs.shape[0]):
+        for g in range(nl.QG):
+            row = i * nl.QG + g
+            for j in range(cs.shape[1]):
+                sid = cs[i, j]
+                if j >= cn[i] or sid >= psub.shape[0]:
+                    assert hits4[row, j] == 0.0, (i, g, j)
+                    continue
+                d2 = (
+                    (pq[row][:, None, :] - psub[sid][None, :, :]) ** 2
+                ).sum(-1)
+                assert (hits4[row, j] > 0) == bool((d2 < h2).any()), (i, g, j)
+
+
 @pytest.mark.parametrize("n", [100, 129, 2049])
 def test_odd_particle_counts(n):
     """Non-power-of-two and sub-block counts pad correctly through the
