@@ -65,6 +65,8 @@ def main():
     ap.add_argument("--no-hit-compact", action="store_true")
     ap.add_argument("--force-query-rows", type=int, default=128,
                     choices=[32, 128])
+    ap.add_argument("--tier2-frac", type=int, default=0)
+    ap.add_argument("--tier2-mult", type=int, default=2)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -89,6 +91,8 @@ def main():
         max_candidates_hit=args.max_candidates_hit,
         hit_compact=not args.no_hit_compact,
         force_query_rows=args.force_query_rows,
+        tier2_frac=args.tier2_frac,
+        tier2_mult=args.tier2_mult,
     )
 
     scene_dev = None
@@ -110,7 +114,7 @@ def main():
     import dataclasses
 
     from libclsph_tpu.engine.step import (
-        FLAG_CAPACITY, FLAG_CAPACITY_HIT, FLAG_CAPACITY_SUB,
+        FLAG_CAPACITY, FLAG_CAPACITY_HIT, FLAG_CAPACITY_SUB, FLAG_CAPACITY_T2,
     )
 
     t0 = time.perf_counter()
@@ -125,12 +129,25 @@ def main():
         ovf = int(overflow)
         if not ovf:
             break
-        # grow only the flagged table (mirrors the engine autotune)
+        # grow only the flagged table (mirrors the engine autotune,
+        # incl. the two-tier routing escalation — see _grow_capacity)
+        can_t2 = (
+            cfg.neighbor_impl == "pallas"
+            and cfg.pallas_variant == "nl"
+            and cfg.nl_query_rows >= cfg.block_size
+        )
         updates = {}
         if ovf & FLAG_CAPACITY:
             updates["max_candidates"] = cfg.max_candidates * 2
         if ovf & FLAG_CAPACITY_SUB:
-            updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+            if can_t2 and cfg.tier2_frac == 0:
+                updates["tier2_frac"] = 8
+            elif cfg.tier2_frac > 0:
+                updates["tier2_mult"] = cfg.tier2_mult * 2
+            else:
+                updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+        if ovf & FLAG_CAPACITY_T2:
+            updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
         if ovf & FLAG_CAPACITY_HIT:
             updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
         cfg = dataclasses.replace(cfg, **updates)

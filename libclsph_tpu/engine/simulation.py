@@ -44,6 +44,7 @@ from .step import (
     FLAG_CAPACITY,
     FLAG_CAPACITY_HIT,
     FLAG_CAPACITY_SUB,
+    FLAG_CAPACITY_T2,
     FLAG_EXCHANGE,
     FLAG_GRID_DIM,
     FLAGS_ALL_CAPACITY,
@@ -180,10 +181,27 @@ class SPHSimulation:
             )
         if cfg.neighbor_impl in ("tiles", "pallas"):
             updates = {}
+            # two-tier routing is available on the production shape
+            # (nl kernels at whole-block query rows, engine/step.py)
+            can_t2 = (
+                cfg.neighbor_impl == "pallas"
+                and cfg.pallas_variant == "nl"
+                and cfg.nl_query_rows >= cfg.block_size
+            )
             if flags & FLAG_CAPACITY:
                 updates["max_candidates"] = cfg.max_candidates * 2
             if flags & FLAG_CAPACITY_SUB:
-                updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+                if can_t2 and cfg.tier2_frac == 0:
+                    # first overflow: route the heavy tail to a tier-2
+                    # pool instead of doubling EVERY block's gather/DMA
+                    # volume (tiles.route_overflow)
+                    updates["tier2_frac"] = 8
+                elif cfg.tier2_frac > 0:
+                    updates["tier2_mult"] = cfg.tier2_mult * 2
+                else:
+                    updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+            if flags & FLAG_CAPACITY_T2:
+                updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
             if flags & FLAG_CAPACITY_HIT:
                 updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
             cfg = dataclasses.replace(cfg, **updates)

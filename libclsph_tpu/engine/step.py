@@ -44,11 +44,14 @@ FLAG_GRID_DIM = 2  # a grid axis reached the 10-bit Morton limit (1024)
 FLAG_EXCHANGE = 4  # ring halo_hops too small: a needed shard is out of reach
 FLAG_CAPACITY_SUB = 8  # refined subblock capacity (max_candidates_sub)
 FLAG_CAPACITY_HIT = 16  # hit-compacted force capacity (max_candidates_hit)
-# the three capacity bits are reported separately so the engine's
+FLAG_CAPACITY_T2 = 32  # two-tier overflow pool exhausted (tier2_frac)
+# the capacity bits are reported separately so the engine's
 # autotune grows ONLY the overflowing table: r2's coupled doubling
 # re-grew every gather volume at once (2M measured: a block-cap
 # overflow at 96 doubled sub/hit too and cost ~25% throughput)
-FLAGS_ALL_CAPACITY = FLAG_CAPACITY | FLAG_CAPACITY_SUB | FLAG_CAPACITY_HIT
+FLAGS_ALL_CAPACITY = (
+    FLAG_CAPACITY | FLAG_CAPACITY_SUB | FLAG_CAPACITY_HIT | FLAG_CAPACITY_T2
+)
 
 
 @jax.tree_util.register_static
@@ -99,6 +102,17 @@ class StepConfig:
     # (experiments/volume_probe.py). 128: the round-3 whole-block
     # force pass. Only takes effect when nl_query_rows == 128.
     force_query_rows: int = 128
+    # Two-tier candidate-capacity routing (nl variant, nl_query_rows
+    # 128 only). 0 disables. k > 0: blocks whose refined count exceeds
+    # max_candidates_sub are routed to a pool of ceil(nb/k) tier-2
+    # slots processed at tier2_mult x the base capacities, instead of
+    # a GLOBAL capacity regrowth that doubles every gather/DMA volume
+    # (gather + kernel DMA scale with static capacity, not counts).
+    # The engine autotune enables this (k=8) on the first subblock
+    # overflow and halves k if the pool itself fills
+    # (tiles.route_overflow; FLAG_CAPACITY_T2).
+    tier2_frac: int = 0
+    tier2_mult: int = 2  # tier-2 capacity = tier2_mult * base capacity
     # nl/asm pair-distance path. 'vpu' (default): elementwise
     # dx^2+dy^2+dz^2. 'mxu': one K=5 dot on the matrix unit from
     # domain-centred coordinates — measured SLOWER on v5e (the MXU is
@@ -293,6 +307,13 @@ def _density_forces_pallas_nl(
     sub = cfg.block_size // nl.SUB
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
+    asm = config.pallas_variant == "asm"
+    # two-tier overflow routing (see StepConfig.tier2_frac): the refine
+    # emits lists at the TIER-2 width; tier-1 consumers slice [:c1]
+    use_t2 = config.tier2_frac > 0 and not asm and q_rep == 1
+    cap_sub = config.max_candidates_sub * (
+        config.tier2_mult if use_t2 else 1
+    )
     # truncation-safe self range: the query's own subblock ids are
     # [parent_block*sub, parent_block*sub + sub) (tiles._self_priority_sort)
     nb_q = blocked.position.shape[0] * q_rep
@@ -322,7 +343,7 @@ def _density_forces_pallas_nl(
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates_exact(
             cand_q, count_q, qlo, qhi, blocked.position, params.h, sub,
-            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
+            cap_sub, self_lo=self_lo, self_width=sub,
         )
     else:
         sub_lo, sub_hi = tiles_ops.subblock_bounds(
@@ -337,15 +358,20 @@ def _density_forces_pallas_nl(
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
             cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
-            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
+            cap_sub, self_lo=self_lo, self_width=sub,
         )
     flags = (
         ovf.astype(jnp.int32) * FLAG_CAPACITY
         + ovf2.astype(jnp.int32) * FLAG_CAPACITY_SUB
     )
 
+    if use_t2:
+        return _nl_two_tier_tail(
+            state, real, params, terms, config, r2_mxu, center,
+            cand_sub, count_sub, self_lo, sub, flags,
+        )
+
     mass = params.particle_mass
-    asm = config.pallas_variant == "asm"
     make_cpacks = nl.make_cparent_packs if asm else nl.make_csub_packs
     fused_density = nl.fused_density_asm if asm else nl.fused_density_nl
     fused_forces = nl.fused_forces_asm if asm else nl.fused_forces_nl
@@ -418,6 +444,154 @@ def _density_forces_pallas_nl(
             q_force, c_force_pack, cand_f, count_f, params, terms, real,
             density, r2_mxu=r2_mxu,
         )
+    return density, pressure, accel, flags
+
+
+def _nl_two_tier_tail(
+    state: ParticleState,
+    real: jnp.ndarray,
+    params: SimulationParameters,
+    terms,
+    config: StepConfig,
+    r2_mxu: bool,
+    center,
+    cand_full: jnp.ndarray,
+    count_sub: jnp.ndarray,
+    self_lo: jnp.ndarray,
+    sub: int,
+    flags: jnp.ndarray,
+):
+    """Two-tier density/force passes (see StepConfig.tier2_frac).
+
+    ``cand_full`` (nb, c2) is the refined list at the TIER-2 width
+    (c2 = tier2_mult * max_candidates_sub, self-priority sorted, so
+    the first c1 slots of a non-heavy row hold its whole list). Rows
+    with count > c1 are routed to nb2 = ceil(nb / tier2_frac) tier-2
+    slots (tiles.route_overflow); tier-1 zeroes their counts and the
+    per-block results merge by scatter over the distinct routed rows.
+    Physics-exact: both tiers run the identical kernels over identical
+    (sorted) candidate lists — the split only changes which dispatch a
+    block's accumulation happens in, not its order.
+
+    Tier-2 always runs whole-block (q128) force panels: the heavy rows
+    are few, so the q32 subgroup machinery's savings don't pay there.
+    """
+    from ..ops.pallas import neighbor_nl as nl
+
+    mass = params.particle_mass
+    B = config.block_size
+    nb = cand_full.shape[0]
+    c1 = config.max_candidates_sub
+    nb2 = -(-nb // config.tier2_frac)
+    idx, used, count1, pool_ovf = tiles_ops.route_overflow(count_sub, c1, nb2)
+    flags = flags + pool_ovf.astype(jnp.int32) * FLAG_CAPACITY_T2
+    cand1 = cand_full[:, :c1]
+    cand2 = jnp.take(cand_full, idx, axis=0)
+    count2 = jnp.where(used, jnp.take(count_sub, idx), 0)
+    self_lo2 = jnp.take(self_lo, idx)
+
+    q_pos, _ = nl.make_query_planes(
+        state.position, state.velocity, state.density, state.pressure,
+        real, B, mass=mass, center=center,
+    )
+    c_pos_pack, _ = nl.make_csub_packs(
+        state.position, state.velocity, state.density, state.pressure,
+        real, mass=mass, center=center,
+    )
+    q_pos2 = jnp.take(q_pos, idx, axis=0)
+    real2 = jnp.take(real.reshape(nb, B), idx, axis=0).reshape(-1)
+
+    force_q32 = (
+        config.force_query_rows == 32 and config.hit_compact and B == 128
+    )
+
+    # ---- density (+ hit flags), both tiers
+    if config.hit_compact:
+        density1, hits1 = nl.fused_density_nl(
+            q_pos, c_pos_pack, cand1, count1, params, terms, real,
+            r2_mxu=r2_mxu, want_hits=True,
+            hit_groups=nl.QG if force_q32 else 1,
+        )
+        density2, hits2 = nl.fused_density_nl(
+            q_pos2, c_pos_pack, cand2, count2, params, terms, real2,
+            r2_mxu=r2_mxu, want_hits=True,
+        )
+    else:
+        density1 = nl.fused_density_nl(
+            q_pos, c_pos_pack, cand1, count1, params, terms, real,
+            r2_mxu=r2_mxu,
+        )
+        density2 = nl.fused_density_nl(
+            q_pos2, c_pos_pack, cand2, count2, params, terms, real2,
+            r2_mxu=r2_mxu,
+        )
+    d1b = density1.reshape(nb, B)
+    d2b = density2.reshape(nb2, B)
+    # unused pool slots point at arbitrary rows: write back tier-1's
+    # value so the scatter is the identity there (idx rows distinct)
+    d2b = jnp.where(used[:, None], d2b, jnp.take(d1b, idx, axis=0))
+    density = d1b.at[idx].set(d2b).reshape(-1)
+
+    pressure = interactions_ops.tait_pressure(density, params)
+    pressure = jnp.where(real, pressure, 0.0)
+
+    _, q_force = nl.make_query_planes(
+        state.position, state.velocity, density, pressure,
+        real, B, mass=mass, center=center,
+    )
+    _, c_force_pack = nl.make_csub_packs(
+        state.position, state.velocity, density, pressure, real, mass=mass,
+        center=center,
+    )
+    q_force2 = jnp.take(q_force, idx, axis=0)
+    density2m = jnp.take(density.reshape(nb, B), idx, axis=0).reshape(-1)
+
+    # ---- forces, tier 1
+    if config.hit_compact:
+        if force_q32:
+            cap32 = max(32, config.max_candidates_hit // 2)
+            cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(cand1, nl.QG, axis=0),
+                hits1[:, : cand1.shape[1]],
+                cap32,
+                self_lo=jnp.repeat(self_lo, nl.QG), self_width=sub,
+            )
+            accel1 = nl.fused_forces_nl32(
+                q_force, c_force_pack, cand_f1, count_f1, params, terms,
+                real, density, r2_mxu=r2_mxu,
+            )
+        else:
+            cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
+                cand1, hits1[:, : cand1.shape[1]],
+                config.max_candidates_hit,
+                self_lo=self_lo, self_width=sub,
+            )
+            accel1 = nl.fused_forces_nl(
+                q_force, c_force_pack, cand_f1, count_f1, params, terms,
+                real, density, r2_mxu=r2_mxu,
+            )
+        hit2cap = config.max_candidates_hit * config.tier2_mult
+        cand_f2, count_f2, ovf4 = tiles_ops.compact_hits(
+            cand2, hits2[:, : cand2.shape[1]], hit2cap,
+            self_lo=self_lo2, self_width=sub,
+        )
+        flags = flags + (ovf3 | ovf4).astype(jnp.int32) * FLAG_CAPACITY_HIT
+    else:
+        cand_f2, count_f2 = cand2, count2
+        accel1 = nl.fused_forces_nl(
+            q_force, c_force_pack, cand1, count1, params, terms,
+            real, density, r2_mxu=r2_mxu,
+        )
+
+    # ---- forces, tier 2 (whole-block panels), then merge
+    accel2 = nl.fused_forces_nl(
+        q_force2, c_force_pack, cand_f2, count_f2, params, terms, real2,
+        density2m, r2_mxu=r2_mxu,
+    )
+    a1b = accel1.reshape(nb, B, 3)
+    a2b = accel2.reshape(nb2, B, 3)
+    a2b = jnp.where(used[:, None, None], a2b, jnp.take(a1b, idx, axis=0))
+    accel = a1b.at[idx].set(a2b).reshape(-1, 3)
     return density, pressure, accel, flags
 
 

@@ -588,6 +588,36 @@ def refine_candidates_exact(
     return cand_sub, jnp.minimum(count_sub, max_sub), overflow
 
 
+def route_overflow(count: jnp.ndarray, c1: int, nb2: int):
+    """Two-tier capacity routing: rows whose candidate count exceeds
+    the base capacity ``c1`` are routed to a fixed pool of ``nb2``
+    tier-2 slots, processed separately at a larger capacity.
+
+    Why: gather volume and kernel DMA scale with the STATIC capacity,
+    not the actual counts (dead slots are fetched either way), so a
+    global capacity regrowth doubles the dominant cost for every block
+    when only a few dense ones overflow — the 4M dam-break's failure
+    mode (BASELINE.md r2: regrowth to 192 cost 2x all gather volumes
+    while the hydrostatically compressed bottom blocks alone needed
+    it). Routing the heavy tail to nb2 = nb/8 slots at 2x capacity
+    costs ~25% extra volume instead of +100%.
+
+    Returns (idx (nb2,) int32 routed row ids, used (nb2,) bool slot
+    validity, count1 (nb,) tier-1 counts with routed rows zeroed,
+    pool_overflow () bool — more heavy rows than slots; the engine
+    responds by halving tier2_frac). ``idx`` rows are distinct (top_k
+    picks positions), so scatter-merges over them are well defined;
+    unused slots point at arbitrary rows and MUST be masked with
+    ``used``.
+    """
+    heavy = count > c1
+    vals, idx = jax.lax.top_k(jnp.where(heavy, count, -1), nb2)
+    used = vals > 0
+    count1 = jnp.where(heavy, 0, count)
+    pool_overflow = jnp.sum(heavy.astype(jnp.int32)) > nb2
+    return idx.astype(jnp.int32), used, count1, pool_overflow
+
+
 def compact_hits(cand_sub: jnp.ndarray, hits: jnp.ndarray, max_hit: int,
                  self_lo: jnp.ndarray | None = None, self_width: int = 1):
     """Compact a refined candidate list to its TRUE-HIT subblocks.
