@@ -167,7 +167,29 @@ def _nl_passes(
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     c_pos_pack, _ = packs(pos_fields)
-    if config.hit_compact:
+    # q32 force pass (engine/step.py force_query_rows rationale):
+    # per-QUERY-SUBGROUP hit lists halve the true-hit pair volume
+    force_q32 = (
+        config.force_query_rows == 32
+        and config.hit_compact
+        and q_rows == 128
+    )
+    if force_q32:
+        density, hits = nl.fused_density_nl(
+            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
+            r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
+        )
+        cap32 = max(32, config.max_candidates_hit // 2)
+        cand_f, count_f, ovf_h = tiles_ops.compact_hits(
+            jnp.repeat(cand_sub, nl.QG, axis=0),
+            hits[:, : cand_sub.shape[1]],
+            cap32,
+            self_lo=(
+                None if self_lo is None else jnp.repeat(self_lo, nl.QG)
+            ),
+            self_width=sub,
+        )
+    elif config.hit_compact:
         density, hits = nl.fused_density_nl(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
             r2_mxu=r2_mxu, want_hits=True,
@@ -196,10 +218,16 @@ def _nl_passes(
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     _, c_force_pack = packs(force_fields(blocked))
-    accel = nl.fused_forces_nl(
-        q_force, c_force_pack, cand_f, count_f, params, terms,
-        valid_s, density, r2_mxu=r2_mxu,
-    )
+    if force_q32:
+        accel = nl.fused_forces_nl32(
+            q_force, c_force_pack, cand_f, count_f, params, terms,
+            valid_s, density, r2_mxu=r2_mxu,
+        )
+    else:
+        accel = nl.fused_forces_nl(
+            q_force, c_force_pack, cand_f, count_f, params, terms,
+            valid_s, density, r2_mxu=r2_mxu,
+        )
     # granular capacity bits so the engine autotune grows only the
     # overflowing table (engine/step.py FLAG_CAPACITY* rationale)
     nl_flags = (

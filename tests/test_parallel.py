@@ -127,6 +127,49 @@ class TestShardedStep:
         np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
         assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
 
+    def test_pallas_nl_q32_matches_single_chip(self):
+        """The q32 force pass (per-query-subgroup hit lists,
+        force_query_rows=32) under a mesh reproduces the single-chip
+        q32 physics — the sharded engine keeps feature parity with the
+        single-chip production path."""
+        params = make_params(WATER, n=2048)
+        cfg = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl", block_size=128,
+            max_candidates=32, max_candidates_sub=96, max_candidates_hit=64,
+            force_query_rows=32, adaptive_dt=False,
+        )
+        state0 = init_state(params)
+        dt = jnp.float32(params.max_dt)
+        s1, dt1, f1 = substep_jit(state0, dt, params, None, cfg)
+        assert not bool(f1)
+
+        mesh = make_mesh(jax.devices()[:8])
+        sp = pad_for_mesh(state0, params, mesh, cfg)
+        sp = shard_state(sp, mesh)
+        step = make_sharded_substep(mesh, params, None, cfg)
+        s8, dt8, f8 = step(sp, dt)
+        assert not bool(f8)
+
+        pos8 = np.asarray(s8.position)
+        real = np.abs(pos8).max(axis=1) < 1e30
+        assert real.sum() == params.particles_count
+
+        def key(pos):
+            q = np.round(np.asarray(pos, np.float64), 6)
+            return np.lexsort(q.T)
+
+        o1 = key(np.asarray(s1.position))
+        o8 = key(pos8[real])
+        np.testing.assert_allclose(
+            np.asarray(s1.density)[o1],
+            np.asarray(s8.density)[real][o8],
+            rtol=1e-5,
+        )
+        a1 = np.asarray(s1.acceleration)[o1]
+        a8 = np.asarray(s8.acceleration)[real][o8]
+        np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
+        assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
+
     def test_sharded_collisions_match_single_chip(self):
         """The sharded DF collision path (DeviceScene routed through
         _advect_collide under shard_map) must equal the single-chip
