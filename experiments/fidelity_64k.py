@@ -28,8 +28,8 @@ from libclsph_tpu.core.params import derive_parameters
 from libclsph_tpu.core.state import init_state
 from libclsph_tpu.engine.step import StepConfig, substep_jit
 
-N = 65536
-SETTLE = 20
+N = int(os.environ.get("FIDELITY_N", "65536"))
+SETTLE = int(os.environ.get("FIDELITY_SETTLE", "20"))
 ROWS = 512
 
 fluid = dict(fluid_density=998.29, dynamic_viscosity=3.5, restitution=0, k=100,
@@ -50,12 +50,25 @@ for _ in range(SETTLE):
 assert not int(flags), int(flags)
 
 # one more substep at negligible dt: density/accel are evaluated on the
-# (fetched) input positions
-pos = np.asarray(state.position, np.float64)
-vel = np.asarray(state.velocity, np.float64)
+# (fetched) input positions. The substep SORTS the particles, so the
+# device outputs are in Morton order — match rows to the fetched input
+# by quantized position order (tests/test_physics.py match_order; the
+# 1e-9 dt moves positions by <= |v| * 1e-9, below the 1e-6 quantum).
+pos0 = np.asarray(state.position, np.float64)
+vel0 = np.asarray(state.velocity, np.float64)
 out, _, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
-rho_dev = np.asarray(out.density, np.float64)
-acc_dev = np.asarray(out.acceleration, np.float64)
+
+
+def order(p):
+    return np.lexsort(np.round(p, 6).T)
+
+
+o_ref = order(pos0)
+o_dev = order(np.asarray(out.position, np.float64))
+pos = pos0[o_ref]
+vel = vel0[o_ref]
+rho_dev = np.asarray(out.density, np.float64)[o_dev]
+acc_dev = np.asarray(out.acceleration, np.float64)[o_dev]
 
 h = float(params.h)
 mass = float(params.particle_mass)
