@@ -366,8 +366,32 @@ def _density_forces_pallas_nl(
     )
 
     if use_t2:
-        return _nl_two_tier_tail(
-            state, real, params, terms, config, r2_mxu, center,
+        mass = params.particle_mass
+        B = cfg.block_size
+        q_pos, _ = nl.make_query_planes(
+            state.position, state.velocity, state.density, state.pressure,
+            real, B, mass=mass, center=center,
+        )
+        c_pos_pack, _ = nl.make_csub_packs(
+            state.position, state.velocity, state.density, state.pressure,
+            real, mass=mass, center=center,
+        )
+
+        def make_q_force(density, pressure):
+            return nl.make_query_planes(
+                state.position, state.velocity, density, pressure,
+                real, B, mass=mass, center=center,
+            )[1]
+
+        def make_c_force_pack(density, pressure):
+            return nl.make_csub_packs(
+                state.position, state.velocity, density, pressure,
+                real, mass=mass, center=center,
+            )[1]
+
+        return nl_two_tier_passes(
+            q_pos, c_pos_pack, make_q_force, make_c_force_pack,
+            real, params, terms, config, r2_mxu,
             cand_sub, count_sub, self_lo, sub, flags,
         )
 
@@ -447,21 +471,33 @@ def _density_forces_pallas_nl(
     return density, pressure, accel, flags
 
 
-def _nl_two_tier_tail(
-    state: ParticleState,
+def nl_two_tier_passes(
+    q_pos: jnp.ndarray,
+    c_pos_pack: jnp.ndarray,
+    make_q_force,
+    make_c_force_pack,
     real: jnp.ndarray,
     params: SimulationParameters,
     terms,
     config: StepConfig,
     r2_mxu: bool,
-    center,
     cand_full: jnp.ndarray,
     count_sub: jnp.ndarray,
-    self_lo: jnp.ndarray,
+    self_lo: Optional[jnp.ndarray],
     sub: int,
     flags: jnp.ndarray,
+    fix_density=None,
 ):
     """Two-tier density/force passes (see StepConfig.tier2_frac).
+
+    Engine-agnostic core shared by the single-chip path
+    (:func:`_density_forces_pallas_nl`) and the sharded path
+    (``parallel/sharded_step._nl_passes``): the caller supplies the
+    prebuilt query/candidate position packs plus ``make_q_force`` /
+    ``make_c_force_pack`` closures that rebuild the force-side planes
+    from the merged (density, pressure) — the sharded caller's
+    candidate closure performs the halo/all-gather exchange, so the
+    tier routing itself stays shard-local with no extra collectives.
 
     ``cand_full`` (nb, c2) is the refined list at the TIER-2 width
     (c2 = tier2_mult * max_candidates_sub, self-priority sorted, so
@@ -475,12 +511,15 @@ def _nl_two_tier_tail(
 
     Tier-2 always runs whole-block (q128) force panels: the heavy rows
     are few, so the q32 subgroup machinery's savings don't pay there.
+
+    ``fix_density``: optional hook applied to the merged density before
+    the force planes are rebuilt (the sharded engine resets sentinel
+    rows to the rest density).
     """
     from ..ops.pallas import neighbor_nl as nl
 
-    mass = params.particle_mass
-    B = config.block_size
     nb = cand_full.shape[0]
+    B = real.shape[0] // nb
     c1 = config.max_candidates_sub
     nb2 = -(-nb // config.tier2_frac)
     idx, used, count1, pool_ovf = tiles_ops.route_overflow(count_sub, c1, nb2)
@@ -488,16 +527,8 @@ def _nl_two_tier_tail(
     cand1 = cand_full[:, :c1]
     cand2 = jnp.take(cand_full, idx, axis=0)
     count2 = jnp.where(used, jnp.take(count_sub, idx), 0)
-    self_lo2 = jnp.take(self_lo, idx)
+    self_lo2 = None if self_lo is None else jnp.take(self_lo, idx)
 
-    q_pos, _ = nl.make_query_planes(
-        state.position, state.velocity, state.density, state.pressure,
-        real, B, mass=mass, center=center,
-    )
-    c_pos_pack, _ = nl.make_csub_packs(
-        state.position, state.velocity, state.density, state.pressure,
-        real, mass=mass, center=center,
-    )
     q_pos2 = jnp.take(q_pos, idx, axis=0)
     real2 = jnp.take(real.reshape(nb, B), idx, axis=0).reshape(-1)
 
@@ -534,15 +565,11 @@ def _nl_two_tier_tail(
 
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(real, pressure, 0.0)
+    if fix_density is not None:
+        density = fix_density(density)
 
-    _, q_force = nl.make_query_planes(
-        state.position, state.velocity, density, pressure,
-        real, B, mass=mass, center=center,
-    )
-    _, c_force_pack = nl.make_csub_packs(
-        state.position, state.velocity, density, pressure, real, mass=mass,
-        center=center,
-    )
+    q_force = make_q_force(density, pressure)
+    c_force_pack = make_c_force_pack(density, pressure)
     q_force2 = jnp.take(q_force, idx, axis=0)
     density2m = jnp.take(density.reshape(nb, B), idx, axis=0).reshape(-1)
 
@@ -554,7 +581,10 @@ def _nl_two_tier_tail(
                 jnp.repeat(cand1, nl.QG, axis=0),
                 hits1[:, : cand1.shape[1]],
                 cap32,
-                self_lo=jnp.repeat(self_lo, nl.QG), self_width=sub,
+                self_lo=(
+                    None if self_lo is None else jnp.repeat(self_lo, nl.QG)
+                ),
+                self_width=sub,
             )
             accel1 = nl.fused_forces_nl32(
                 q_force, c_force_pack, cand_f1, count_f1, params, terms,

@@ -534,14 +534,27 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
             # roll amount is <= bq - group, so the flags always land
             # inside [0, bq) with no wrap
             rolled = pltpu.roll(q4, hit_slot % bq, axis=1)[:, :bq]
-            if hit_rows > 1:
-                # subgroup g's plane = rows [g*hit_rows, (g+1)*hit_rows)
-                rolled = pltpu.repeat(rolled, hit_rows, axis=0)
-            rowi = jax.lax.broadcasted_iota(
-                jnp.int32, (hit_groups * hit_rows, bq), 0
+            # subgroup g's plane = rows [g*hit_rows, (g+1)*hit_rows),
+            # the slot's row within each plane = hit_slot // bq. Built
+            # as a static per-group select + concat: pltpu.repeat has
+            # TILE semantics ([g0, g1, .., g0, g1, ..]), NOT jnp.repeat
+            # element semantics — using it here silently scattered q32
+            # flags into the wrong planes whenever the candidate
+            # capacity exceeded bq (hit_rows > 1), dropping force pairs
+            # with no overflow flag (caught by
+            # test_nl_layout.test_q32_forces_wide_capacity).
+            row_in_plane = jax.lax.broadcasted_iota(
+                jnp.int32, (hit_rows, bq), 0
             )
-            out[0, 1 : 1 + hit_groups * hit_rows, :] += jnp.where(
-                rowi % hit_rows == hit_slot // bq, rolled, 0.0
+            keep = row_in_plane == hit_slot // bq
+            planes = [
+                jnp.where(keep, rolled[g : g + 1], 0.0)
+                for g in range(hit_groups)
+            ]
+            out[0, 1 : 1 + hit_groups * hit_rows, :] += (
+                planes[0]
+                if hit_groups == 1
+                else jnp.concatenate(planes, axis=0)
             )
 
 

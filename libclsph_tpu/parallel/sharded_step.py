@@ -43,9 +43,11 @@ from ..engine.step import (
     FLAG_CAPACITY,
     FLAG_CAPACITY_HIT,
     FLAG_CAPACITY_SUB,
+    FLAG_CAPACITY_T2,
     FLAG_EXCHANGE,
     FLAG_GRID_DIM,
     StepConfig,
+    nl_two_tier_passes,
     _advect_collide,
 )
 from ..ops import collisions as collisions_ops
@@ -108,6 +110,13 @@ def _nl_passes(
     sub = cfg.block_size // nl.SUB
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
+    # two-tier overflow routing (engine/step.py StepConfig.tier2_frac):
+    # refine at the tier-2 width, route heavy rows per shard — all
+    # shard-local ops, no extra collectives
+    use_t2 = config.tier2_frac > 0 and q_rep == 1
+    cap_sub = config.max_candidates_sub * (
+        config.tier2_mult if use_t2 else 1
+    )
     if q_rep > 1:
         cand_q = jnp.repeat(cand, q_rep, axis=0)
         count_q = jnp.repeat(count, q_rep, axis=0)
@@ -131,7 +140,7 @@ def _nl_passes(
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf = tiles_ops.refine_candidates_exact(
             cand_q, count_q, qlo, qhi, pos_fields.position, params.h, sub,
-            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
+            cap_sub, self_lo=self_lo, self_width=sub,
         )
     else:
         sub_lo, sub_hi = tiles_ops.subblock_bounds(
@@ -146,7 +155,7 @@ def _nl_passes(
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf = tiles_ops.refine_candidates(
             cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
-            config.max_candidates_sub, self_lo=self_lo, self_width=sub,
+            cap_sub, self_lo=self_lo, self_width=sub,
         )
     mass = params.particle_mass
 
@@ -167,6 +176,33 @@ def _nl_passes(
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     c_pos_pack, _ = packs(pos_fields)
+    if use_t2:
+        # tier routing is shard-local: heavy QUERY rows of this shard
+        # route to its own tier-2 pool; only the force-pack closure
+        # performs collectives (the same ONE exchange as single-tier)
+        def make_q_force(density, pressure):
+            return nl.make_query_planes(
+                state_s.position, state_s.velocity, density, pressure,
+                valid_s, q_rows, mass=mass, gid_offset=gid_offset,
+                center=center,
+            )[1]
+
+        def make_c_force_pack(density, pressure):
+            blk = blocked._replace(
+                density=density.reshape(blocked.density.shape),
+                pressure=pressure.reshape(blocked.pressure.shape),
+            )
+            return packs(force_fields(blk))[1]
+
+        return nl_two_tier_passes(
+            q_pos, c_pos_pack, make_q_force, make_c_force_pack,
+            valid_s, params, terms, config, r2_mxu,
+            cand_sub, count_sub, self_lo, sub,
+            ovf.astype(jnp.int32) * FLAG_CAPACITY_SUB,
+            fix_density=lambda d: jnp.where(
+                valid_s, d, params.fluid_density
+            ),
+        )
     # q32 force pass (engine/step.py force_query_rows rationale):
     # per-QUERY-SUBGROUP hit lists halve the true-hit pair volume
     force_q32 = (
@@ -854,6 +890,9 @@ def dryrun(n_devices: int) -> None:
         neighbor_impl="pallas", pallas_variant="nl",
         block_size=config.block_size, max_candidates=config.max_candidates,
         max_candidates_sub=96,
+        # two-tier overflow routing compiled + executed under the mesh
+        # (engine/step.nl_two_tier_passes via the sharded caller)
+        tier2_frac=8, tier2_mult=2,
     )
     step_ring = make_sharded_substep(
         mesh, params, dev_scene, config_p, exchange="ring",

@@ -170,6 +170,65 @@ class TestShardedStep:
         np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
         assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
 
+    @pytest.mark.parametrize("force_query_rows", [128, 32])
+    def test_pallas_nl_tier2_matches_sharded_single_tier(
+        self, rng, force_query_rows
+    ):
+        """Two-tier capacity routing under a mesh (engine/step.py
+        nl_two_tier_passes via the sharded caller) reproduces the
+        sharded single-tier run at the full capacity bit-for-bit on
+        density: both execute identical kernels over identical sorted
+        candidate lists, per shard — the routing only changes which
+        dispatch a block's accumulation happens in."""
+        from test_tier2 import clustered_cloud, refined_counts
+        from test_physics import make_state
+
+        n = 2048
+        params = make_params(WATER, n=n)
+        pos, vel = clustered_cloud(rng, params, n)
+        state0 = make_state(pos, vel)
+
+        # heavy-row bar from the single-chip refined counts (proxy: the
+        # ball cluster makes its blocks heavy in any decomposition)
+        counts = refined_counts(make_state(pos, vel), params)
+        c1 = max(32, int(np.median(counts)) + 8)
+        assert (counts > c1).any(), "test cloud produced no heavy blocks"
+        mult = 2
+        while c1 * mult < int(counts.max()) * 2:
+            mult *= 2
+
+        base = dict(
+            neighbor_impl="pallas", pallas_variant="nl", block_size=128,
+            max_candidates=64, max_candidates_hit=2 * c1,
+            force_query_rows=force_query_rows, adaptive_dt=False,
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        dt = jnp.float32(params.max_dt)
+
+        cfg_full = StepConfig(max_candidates_sub=c1 * mult, **base)
+        sp = pad_for_mesh(state0, params, mesh, cfg_full)
+        sp = shard_state(sp, mesh)
+        s_full, dt_full, f_full = make_sharded_substep(
+            mesh, params, None, cfg_full
+        )(sp, dt)
+        assert not bool(f_full)
+
+        cfg_t2 = StepConfig(
+            max_candidates_sub=c1, tier2_frac=4, tier2_mult=mult, **base
+        )
+        s_t2, dt_t2, f_t2 = make_sharded_substep(
+            mesh, params, None, cfg_t2
+        )(sp, dt)
+        assert not bool(f_t2)
+
+        np.testing.assert_array_equal(
+            np.asarray(s_full.density), np.asarray(s_t2.density)
+        )
+        a1 = np.asarray(s_full.acceleration)
+        a2 = np.asarray(s_t2.acceleration)
+        np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+        assert float(dt_full) == pytest.approx(float(dt_t2), rel=1e-6)
+
     def test_sharded_collisions_match_single_chip(self):
         """The sharded DF collision path (DeviceScene routed through
         _advect_collide under shard_map) must equal the single-chip

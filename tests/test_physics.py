@@ -475,6 +475,44 @@ def test_force_q32_matches_q128(rng):
     np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
 
 
+def test_q32_forces_wide_capacity(rng):
+    """q32 vs q128 forces at max_candidates_sub > 128 — the hit-flag
+    planes then span hit_rows=2 output rows per subgroup, a layout the
+    kernel must build with element-repeat semantics: pltpu.repeat's
+    TILE semantics silently scattered subgroup flags into the wrong
+    planes (dropping force pairs with NO overflow flag) whenever the
+    capacity exceeded the 128-lane query width, e.g. after a capacity
+    autotune regrowth (neighbor._density_core_rowout)."""
+    from test_tier2 import clustered_cloud
+
+    params = make_params(WATER, n=2048)
+    pos, vel = clustered_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+        max_candidates_sub=192, max_candidates_hit=192,
+    )
+    s128, _, f128 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(force_query_rows=128, **base),
+    )
+    s32, _, f32_ = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(force_query_rows=32, **base),
+    )
+    assert not bool(f128) and not bool(f32_)
+    np.testing.assert_array_equal(
+        np.asarray(s128.density), np.asarray(s32.density)
+    )
+    a1 = np.asarray(s128.acceleration)
+    a2 = np.asarray(s32.acceleration)
+    # the overlap-clustered cloud drives |a| to ~1e10 with heavy
+    # cancellation; q32 sums pairs in a different order, so the bar is
+    # loose in f32 ulps yet ~1000x below the dropped-pair failure mode
+    # this test exists to catch (which was ~1x relative)
+    np.testing.assert_allclose(a1, a2, atol=1e-4 * np.abs(a1).max())
+
+
 def test_subgroup_hit_flags_semantics(rng):
     """hit_groups=4 density flags equal a brute-force per-subgroup
     pair test: row i*4+g, slot j flags iff subblock cand_sub[i, j] has

@@ -95,6 +95,44 @@ def test_exact_matches_tiles_on_chip():
     np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
 
 
+@pytest.mark.parametrize(
+    "extra",
+    [
+        # wide-capacity q32: the hit-flag planes span hit_rows=2 output
+        # rows per subgroup — the layout pltpu.repeat's TILE semantics
+        # silently scrambled (test_physics.test_q32_forces_wide_capacity)
+        dict(max_candidates_sub=192, max_candidates_hit=192),
+        # two-tier capacity routing compiled on chip (tier-1 + routed
+        # tier-2 kernel dispatches + scatter merge)
+        dict(max_candidates_sub=96, max_candidates_hit=96,
+             tier2_frac=8, tier2_mult=2),
+    ],
+    ids=["q32-wide", "q32-tier2"],
+)
+def test_mosaic_q32_regimes_match_tiles(extra):
+    """The q32 force pass's Mosaic compile at capacities/configs the
+    base smoke case never reaches (flag planes > 1 row; two-tier
+    routing)."""
+    from libclsph_tpu.engine.step import StepConfig, substep_jit
+
+    state, params = _state_and_params()
+    dt = jnp.float32(1e-9)
+    cfg_t = StepConfig(neighbor_impl="tiles", adaptive_dt=False)
+    st, _, ft = substep_jit(state, dt, params, None, cfg_t)
+    cfg_p = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        force_query_rows=32, adaptive_dt=False, **extra,
+    )
+    sp, _, fp = substep_jit(state, dt, params, None, cfg_p)
+    assert not int(ft) and not int(fp)
+    np.testing.assert_allclose(
+        np.asarray(st.density), np.asarray(sp.density), rtol=2e-5
+    )
+    a1 = np.asarray(st.acceleration)
+    a2 = np.asarray(sp.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+
+
 def test_mosaic_hierarchical_regime_matches_tiles():
     """The 1M-regime machinery — hierarchical candidate search,
     exact-refine flat pack at scale, hit compaction — Mosaic-compiled
