@@ -1,0 +1,88 @@
+#!/bin/bash
+# Round-3 chip measurement matrix (run ON the TPU; no platform override).
+# Each step is independent and appends to experiments/r3_results.jsonl —
+# safe to re-run; comment out finished steps if the tunnel drops midway.
+#
+# Usage: bash experiments/r3_chip_batch.sh [results-file]
+cd "$(dirname "$0")/.." || exit 1
+OUT="${1:-experiments/r3_results.jsonl}"
+run() { # run <tag> <timeout-s> <cmd...>
+  local tag="$1" t="$2"; shift 2
+  echo "=== $tag ($(date +%H:%M:%S)) ===" >&2
+  local line
+  line=$(timeout "$t" "$@" 2> >(tail -5 >&2))
+  local rc=$?
+  if [ $rc -eq 0 ] && [ -n "$line" ]; then
+    echo "{\"tag\": \"$tag\", \"result\": $(echo "$line" | tail -1)}" >> "$OUT"
+    echo "$tag OK: $(echo "$line" | tail -1)" >&2
+  else
+    echo "{\"tag\": \"$tag\", \"error\": $rc}" >> "$OUT"
+    echo "$tag FAILED rc=$rc" >&2
+  fi
+}
+
+B="python bench.py --json-only --steps 20"
+
+# -- 1M cube headline candidates ------------------------------------
+run 1m-control     1200 $B
+run 1m-q32         1200 $B --force-query-rows 32
+run 1m-q32-split3  1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B --force-query-rows 32
+run 1m-tier2       1200 $B --max-candidates-sub 96 --tier2-frac 8
+run 1m-tier2-q32   1200 $B --max-candidates-sub 96 --tier2-frac 8 --force-query-rows 32
+run 1m-split3      1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B
+run 1m-tier2-q32-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
+    --max-candidates-sub 96 --tier2-frac 8 --force-query-rows 32
+
+# -- scale rows (verdict #5: 4M >= 2.4M p-steps/s) -------------------
+run 2m-tier2       1800 $B --n 2097152 --max-candidates-sub 96 --tier2-frac 8
+run 4m-tier2       2400 $B --n 4194304 --max-candidates-sub 96 --tier2-frac 8
+run 4m-control     2400 $B --n 4194304
+
+runtxt() { # runtxt <tag> <timeout-s> <cmd...> — records stdout as a string
+  local tag="$1" t="$2"; shift 2
+  echo "=== $tag ($(date +%H:%M:%S)) ===" >&2
+  local txt
+  txt=$(timeout "$t" "$@" 2> >(tail -5 >&2))
+  local rc=$?
+  RTAG="$tag" RRC="$rc" RTXT="$txt" ROUT="$OUT" python -c '
+import json, os
+rec = {"tag": os.environ["RTAG"], "text": os.environ["RTXT"]}
+if os.environ["RRC"] != "0":
+    rec["error"] = int(os.environ["RRC"])
+open(os.environ["ROUT"], "a").write(json.dumps(rec) + "\n")
+print(rec["tag"], "OK" if "error" not in rec else "FAILED")
+' >&2
+}
+
+# -- current stage breakdown at 1M (pick the next lever from data) ---
+runtxt nl-profile-1m 2400 python experiments/nl_profile.py
+
+# -- fidelity at bench scale (verdict #9) ----------------------------
+runtxt fidelity-highest 2400 python experiments/fidelity_64k.py highest
+runtxt fidelity-split3  2400 python experiments/fidelity_64k.py split3
+
+# -- 64k end-to-end ms/frame (verdict #10): full engine + async export
+runtxt msframe-64k 3600 python - <<'EOF'
+import sys, time, re
+sys.path.insert(0, ".")
+t_marks = []
+import logging
+class Tap(logging.Handler):
+    def emit(self, rec):
+        if "Simulating frame" in rec.getMessage():
+            t_marks.append(time.perf_counter())
+logging.getLogger("libclsph_tpu.engine.simulation").addHandler(Tap())
+from libclsph_tpu import cli
+t0 = time.perf_counter()
+rc = cli.main(["water", "bench64k", "cube", "r3ms_"])
+total = time.perf_counter() - t0
+import numpy as np
+d = np.diff(t_marks)
+print(f"frames={len(t_marks)} total={total:.1f}s "
+      f"first(incl compile)={d[0] if len(d) else 0:.1f}s "
+      f"steady s/frame: median={np.median(d[1:]):.2f} "
+      f"p90={np.percentile(d[1:], 90):.2f} mean={np.mean(d[1:]):.2f}")
+sys.exit(rc)
+EOF
+
+echo "batch done -> $OUT" >&2
