@@ -5,14 +5,18 @@
 draws density-coloured points with a rotating camera
 (shaders/vert.glsl). This is the same architecture on the TPU engine:
 a real interactive window (pygame/SDL), the identical density colour
-ramp, a rotating orbit camera, and the particles arriving through the
-engine's ``pre_frame`` hook each frame.
+ramp, a rotating orbit camera — and the rasterisation itself runs ON
+the accelerator by default (io/render.py, the engine's ``device_view``
+hook): the host receives pixels, not particles, so a 1M-particle live
+view fetches ~1.9 MB/frame instead of ~12 MB + NumPy projection.
+``--host-render`` keeps the original software path (pre_frame hook +
+NumPy splatting) for comparison.
 
 Controls: drag = orbit camera, wheel / +,- = zoom, space = pause,
 r = toggle auto-rotate, q/ESC = quit.
 
 Headless (no display): pass ``--headless`` (or let SDL fail) and the
-same software renderer writes ``view_frames/frameNNNN.png`` instead.
+same renderer writes ``view_frames/frameNNNN.png`` instead.
 
     python examples/viewer.py [--n 8192] [--scene cube.obj] [--headless]
 """
@@ -69,6 +73,11 @@ def main(argv=None):
     ap.add_argument("--time", type=float, default=2.0)
     ap.add_argument("--headless", action="store_true")
     ap.add_argument("--out", default="view_frames")
+    ap.add_argument(
+        "--host-render", action="store_true",
+        help="NumPy software rasteriser via the pre_frame hook "
+        "(default: on-device rendering via device_view)",
+    )
     args = ap.parse_args(argv)
 
     screen = None
@@ -101,15 +110,7 @@ def main(argv=None):
 
     view = dict(yaw=0.6, pitch=0.35, zoom=3.0, auto=True, frame=0, drag=None)
 
-    def show(arrays, params, is_full_frame):
-        pos = arrays["position"]
-        colors = density_color_ramp(arrays["density"])
-        center = pos.mean(axis=0)
-        if view["auto"]:
-            view["yaw"] += 0.02  # rotating camera (opengl.cpp:108-117)
-        fb = render_points(
-            pos, colors, view["yaw"], view["pitch"], view["zoom"], center
-        )
+    def present(fb):
         i = view["frame"]
         view["frame"] += 1
         if screen is None:
@@ -159,9 +160,45 @@ def main(argv=None):
                     view["auto"] = False
                 if ev.type == pygame.MOUSEWHEEL:
                     view["zoom"] *= 0.9 if ev.y > 0 else 1.1
+
+    def show(arrays, params, is_full_frame):
+        # host path: the reference's pre_frame architecture verbatim —
+        # fetch particles, project in NumPy (opengl.cpp:105-160)
+        pos = arrays["position"]
+        colors = density_color_ramp(arrays["density"])
+        center = pos.mean(axis=0)
+        if view["auto"]:
+            view["yaw"] += 0.02  # rotating camera (opengl.cpp:108-117)
+        present(render_points(
+            pos, colors, view["yaw"], view["pitch"], view["zoom"], center
+        ))
         return False  # particles not modified
 
-    sim.pre_frame = show
+    if args.host_render:
+        sim.pre_frame = show
+    else:
+        # device path: rasterise on the accelerator, fetch pixels only
+        import jax.numpy as jnp
+
+        from libclsph_tpu.io.render import render_points as render_device
+
+        def device_show(state, params, is_full_frame):
+            if view["auto"]:
+                view["yaw"] += 0.02
+            pos = state.position
+            real = jnp.abs(pos[:, 0]) < 1.0e30  # sentinel rows sit far
+            cnt = jnp.maximum(jnp.sum(real), 1)
+            center = jnp.sum(
+                jnp.where(real[:, None], pos, 0.0), axis=0
+            ) / cnt
+            fb = np.asarray(render_device(
+                pos, state.density,
+                jnp.float32(view["yaw"]), jnp.float32(view["pitch"]),
+                jnp.float32(view["zoom"]), center, width=W, height=H,
+            ))
+            present(fb)
+
+        sim.device_view = device_show
     try:
         sim.simulate()
     except SystemExit:

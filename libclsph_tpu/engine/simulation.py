@@ -63,6 +63,12 @@ log = get_logger(__name__)
 #   post_frame(arrays: dict, params, is_full_frame) -> bool
 Callback = Callable[[dict, SimulationParameters, bool], bool]
 SaveCallback = Callable[[dict, SimulationParameters], None]
+# device-side view hook: device_view(state: ParticleState, params, True)
+# receives the DEVICE-resident state each frame (no host fetch) — e.g.
+# io/render.PointRenderer renders on the accelerator and only the
+# pixels cross to the host (the TPU-native form of the reference's GL
+# viewer, example/opengl.cpp:121-148)
+DeviceView = Callable[[ParticleState, SimulationParameters, bool], None]
 
 
 class SPHSimulation:
@@ -89,6 +95,7 @@ class SPHSimulation:
         self.pre_frame: Optional[Callback] = None
         self.save_frame: Optional[SaveCallback] = None
         self.post_frame: Optional[Callback] = None
+        self.device_view: Optional[DeviceView] = None
         self.step_config = step_config or StepConfig()
         self.capacity_retries = 0
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
@@ -364,6 +371,8 @@ class SPHSimulation:
 
             sim_time += timeperframe
             current_frame += 1
+            if self.device_view:
+                self.device_view(state, p, True)
             if self.save_frame:
                 self._save(saver, fetch_real(state))
             if self.post_frame:
@@ -463,6 +472,8 @@ class SPHSimulation:
             sim_time += timeperframe
             current_frame += 1
 
+            if self.device_view:
+                self.device_view(state, p, True)
             if fast_path and self.save_frame:
                 # the saver thread owns its own snapshot
                 self._save(saver, self._fetch(state))
