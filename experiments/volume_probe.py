@@ -42,13 +42,15 @@ def main():
     ap.add_argument("--settle", type=int, default=3)
     ap.add_argument("--max-candidates", type=int, default=96)
     ap.add_argument("--max-candidates-sub", type=int, default=256)
+    ap.add_argument("--impl", default="pallas", choices=["pallas", "tiles"],
+                    help="settle-step impl (tiles for CPU runs)")
     args = ap.parse_args()
 
     params = build_params(args.n)
     scene = Scene.load("cube.obj", params.h * 2, scenes_dir="scenes")
     scene_dev = collisions_ops.build_device_scene(scene)
     cfg = StepConfig(
-        neighbor_impl="pallas", max_candidates=args.max_candidates,
+        neighbor_impl=args.impl, max_candidates=args.max_candidates,
         max_candidates_sub=args.max_candidates_sub, refine_mode="aabb",
     )
     state = init_state(params)
@@ -149,13 +151,49 @@ def main():
             h_q32_c16 = jnp.sum(hq16, axis=(1, 2))
             # true pair count (live pairs within h)
             npairs = jnp.sum(jnp.where(qreal[:, None, None] > 0, hit, False))
-            return h_q128_c32, h_q128_c16, h_q32_c32, h_q32_c16, npairs
+            # ---- stage-2 subgroup-refine ADMITTED volumes: what a
+            # per-subgroup density pass would run at if its lists came
+            # from re-testing the q128-admitted subblocks against each
+            # 32-row query subgroup (cheap second refine, no new gather)
+            qg = jnp.where(qreal[:, None], qpos, jnp.nan).reshape(4, 32, 3)
+            qlo_g = jnp.nan_to_num(jnp.nanmin(qg, axis=1), nan=nl.FAR)
+            qhi_g = jnp.nan_to_num(jnp.nanmax(qg, axis=1), nan=-nl.FAR)
+            live = ids < nsub
+            # (a) box-box rounded distance: subblock AABB vs subgroup box
+            slo = jnp.min(cpos, axis=1)  # (msub, 3); dead -> FAR box
+            shi = jnp.max(cpos, axis=1)
+            gap = jnp.maximum(
+                jnp.maximum(
+                    qlo_g[:, None, :] - shi[None, :, :],
+                    slo[None, :, :] - qhi_g[:, None, :],
+                ),
+                0.0,
+            )
+            gap = jnp.minimum(gap, 1.0e6)
+            bb = jnp.sum(gap * gap, axis=-1) <= h * h  # (4, msub)
+            adm_bb = jnp.sum(bb & live[None, :], axis=1)
+            # (b) exact point-to-subgroup-box (stage-1's rounded-box
+            # test with subgroup query boxes)
+            dfc = jnp.maximum(
+                jnp.maximum(
+                    qlo_g[:, None, None, :] - cpos[None, :, :, :],
+                    cpos[None, :, :, :] - qhi_g[:, None, None, :],
+                ),
+                0.0,
+            )
+            dfc = jnp.minimum(dfc, 1.0e6)
+            ex = jnp.any(
+                jnp.sum(dfc * dfc, axis=-1) <= h * h, axis=-1
+            )  # (4, msub)
+            adm_ex = jnp.sum(ex & live[None, :], axis=1)
+            return (h_q128_c32, h_q128_c16, h_q32_c32, h_q32_c16, npairs,
+                    adm_bb, adm_ex)
 
         return jax.lax.map(
             per_block, (pos_b, real_b, idx), batch_size=16
         )
 
-    h_c32, h_c16, h_q32c32, h_q32c16, npairs = map(
+    h_c32, h_c16, h_q32c32, h_q32c16, npairs, adm_bb, adm_ex = map(
         np.asarray, true_hits(pos_b, real_b, cs_row, cnt_row)
     )
     nblocks_real = n // bs
@@ -175,6 +213,16 @@ def main():
     print(
         f"true-hit (q32,c16): mean={h_q32c16[:nblocks_real].mean():.1f}"
         f" slots/p={h_q32c16[:nblocks_real].mean() * 16:.0f}"
+    )
+    bb = adm_bb[:nblocks_real]
+    ex = adm_ex[:nblocks_real]
+    print(
+        f"stage-2 admitted (q32, box-box): mean={bb.mean():.1f}"
+        f" max={bb.max()} slots/p={bb.mean() * 32:.0f}"
+    )
+    print(
+        f"stage-2 admitted (q32, exact-point): mean={ex.mean():.1f}"
+        f" max={ex.max()} slots/p={ex.mean() * 32:.0f}"
     )
 
 

@@ -133,6 +133,65 @@ def test_mosaic_q32_regimes_match_tiles(extra):
     np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
 
 
+@pytest.mark.parametrize("exchange", ["all_gather", "ring"])
+def test_mosaic_sharded_step_matches_single_chip(exchange):
+    """The SHARDED step Mosaic-compiled on a 1-device TPU mesh: every
+    other sharded test (and the driver dryrun) runs the Pallas kernels
+    in CPU interpret mode, so the shard_map-wrapped kernel variants and
+    the exchange plumbing were never Mosaic-compiled anywhere — the
+    exact blind-spot class that hid the r2 bf16 dot bug. A 1-device
+    mesh keeps the collectives degenerate but compiles the full
+    production sharded program (parallel/sharded_step.py) on chip."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from libclsph_tpu.engine.step import StepConfig, substep_jit
+    from libclsph_tpu.parallel.mesh import AXIS, make_mesh
+    from libclsph_tpu.parallel.sharded_step import (
+        make_sharded_substep,
+        pad_for_mesh,
+    )
+
+    state, params = _state_and_params()
+    dt = jnp.float32(1e-9)
+    cfg = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+    )
+    s1, _, f1 = substep_jit(state, dt, params, None, cfg)
+    assert not int(f1)
+
+    mesh = make_mesh(jax.devices()[:1])
+    sp = pad_for_mesh(state, params, mesh, cfg)
+    sp = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(AXIS))), sp
+    )
+    kw = dict(halo_max=4096, halo_hops=1) if exchange == "ring" else {}
+    ss, _, fs = make_sharded_substep(
+        mesh, params, None, cfg, exchange=exchange, **kw
+    )(sp, dt)
+    assert not bool(fs)
+
+    pos_s = np.asarray(ss.position)
+    real = np.abs(pos_s).max(axis=1) < 1e30
+    assert real.sum() == params.particles_count
+
+    def key(pos):
+        return np.lexsort(np.round(np.asarray(pos, np.float64), 6).T)
+
+    o1 = key(np.asarray(s1.position))
+    os_ = key(pos_s[real])
+    np.testing.assert_allclose(
+        np.asarray(s1.position)[o1], pos_s[real][os_], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.density)[o1],
+        np.asarray(ss.density)[real][os_],
+        rtol=2e-5,
+    )
+    a1 = np.asarray(s1.acceleration)[o1]
+    a2 = np.asarray(ss.acceleration)[real][os_]
+    np.testing.assert_allclose(a1, a2, atol=5e-4 * np.abs(a1).max())
+
+
 def test_mosaic_hierarchical_regime_matches_tiles():
     """The 1M-regime machinery — hierarchical candidate search,
     exact-refine flat pack at scale, hit compaction — Mosaic-compiled
