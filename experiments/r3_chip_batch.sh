@@ -12,13 +12,22 @@ run() { # run <tag> <timeout-s> <cmd...>
   local line
   line=$(timeout "$t" "$@" 2> >(tail -5 >&2))
   local rc=$?
-  if [ $rc -eq 0 ] && [ -n "$line" ]; then
-    echo "{\"tag\": \"$tag\", \"result\": $(echo "$line" | tail -1)}" >> "$OUT"
-    echo "$tag OK: $(echo "$line" | tail -1)" >&2
-  else
-    echo "{\"tag\": \"$tag\", \"error\": $rc}" >> "$OUT"
-    echo "$tag FAILED rc=$rc" >&2
-  fi
+  # validate + splice via json, not raw shell (a stray stdout line or
+  # changed bench output must not corrupt the whole JSONL)
+  RTAG="$tag" RRC="$rc" RTXT="$(echo "$line" | tail -1)" ROUT="$OUT" python -c '
+import json, os
+tag, rc, out = os.environ["RTAG"], int(os.environ["RRC"]), os.environ["ROUT"]
+txt = os.environ["RTXT"]
+rec = {"tag": tag}
+try:
+    rec["result"] = json.loads(txt)
+except ValueError:
+    rec["text"] = txt[-4096:]
+if rc != 0:
+    rec["error"] = rc
+open(out, "a").write(json.dumps(rec) + "\n")
+print(tag, "OK" if rc == 0 else "FAILED", json.dumps(rec.get("result", ""))[:200])
+' >&2
 }
 
 B="python bench.py --json-only --steps 20"
@@ -44,6 +53,8 @@ runtxt() { # runtxt <tag> <timeout-s> <cmd...> — records stdout as a string
   local txt
   txt=$(timeout "$t" "$@" 2> >(tail -5 >&2))
   local rc=$?
+  # keep the tail only: >~128KB in one env var would E2BIG the exec
+  txt=$(echo "$txt" | tail -c 65536)
   RTAG="$tag" RRC="$rc" RTXT="$txt" ROUT="$OUT" python -c '
 import json, os
 rec = {"tag": os.environ["RTAG"], "text": os.environ["RTXT"]}
@@ -56,6 +67,10 @@ print(rec["tag"], "OK" if "error" not in rec else "FAILED")
 
 # -- current stage breakdown at 1M (pick the next lever from data) ---
 runtxt nl-profile-1m 2400 python experiments/nl_profile.py
+
+# -- full Mosaic smoke suite on chip (incl. 1-device-mesh sharded) ----
+runtxt tpu-smoke 5400 env LIBCLSPH_TPU_ALLOW_TPU=1 \
+    python -m pytest tests/test_tpu_smoke.py -q --no-header -x
 
 # -- fidelity at bench scale (verdict #9) ----------------------------
 runtxt fidelity-highest 2400 python experiments/fidelity_64k.py highest

@@ -315,6 +315,8 @@ class SPHSimulation:
         frame_fn = build(make_sharded_frame) if fast_path else None
         step = build(make_sharded_substep) if not fast_path else None
 
+        if self.device_view:  # initial frame (like the initial save)
+            self.device_view(state, p, True)
         if self.save_frame:
             self._save(saver, fetch_real(state))
 
@@ -404,6 +406,8 @@ class SPHSimulation:
         current_frame = 2  # reference starts at 2 (sph_simulation.cpp:365)
 
         arrays = None  # host cache of the current state
+        if self.device_view:  # initial frame (like the initial save)
+            self.device_view(state, p, True)
         if self.save_frame:
             self._save(saver, self._fetch(state))
 

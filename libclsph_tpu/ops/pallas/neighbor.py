@@ -542,7 +542,7 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
             # flags into the wrong planes whenever the candidate
             # capacity exceeded bq (hit_rows > 1), dropping force pairs
             # with no overflow flag (caught by
-            # test_nl_layout.test_q32_forces_wide_capacity).
+            # test_physics.test_q32_forces_wide_capacity).
             row_in_plane = jax.lax.broadcasted_iota(
                 jnp.int32, (hit_rows, bq), 0
             )

@@ -141,7 +141,7 @@ def test_point_renderer_engine_hook():
     sim.device_view = r.view
     sim.simulate()
 
-    assert len(images) == 3  # one per frame
+    assert len(images) == 4  # initial view + one per frame
     for img in images:
         assert img.shape == (60, 80, 3) and img.dtype == np.uint8
         assert (img != np.array(BG, np.uint8)).any()  # particles visible
