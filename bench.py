@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--no-hit-compact", action="store_true")
     ap.add_argument("--force-query-rows", type=int, default=128,
                     choices=[32, 128])
+    ap.add_argument("--force-sub16", action="store_true",
+                    help="16-wide candidate subblocks for the q32 force pass")
+    ap.add_argument("--max-candidates-hit16", type=int, default=64)
     ap.add_argument("--tier2-frac", type=int, default=0)
     ap.add_argument("--tier2-mult", type=int, default=2)
     ap.add_argument("--json-only", action="store_true")
@@ -91,6 +94,8 @@ def main():
         max_candidates_hit=args.max_candidates_hit,
         hit_compact=not args.no_hit_compact,
         force_query_rows=args.force_query_rows,
+        force_sub16=args.force_sub16,
+        max_candidates_hit16=args.max_candidates_hit16,
         tier2_frac=args.tier2_frac,
         tier2_mult=args.tier2_mult,
     )
@@ -149,7 +154,10 @@ def main():
         if ovf & FLAG_CAPACITY_T2:
             updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
         if ovf & FLAG_CAPACITY_HIT:
-            updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
+            if cfg.force_sub16 and cfg.force_query_rows == 32:
+                updates["max_candidates_hit16"] = cfg.max_candidates_hit16 * 2
+            else:
+                updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
         cfg = dataclasses.replace(cfg, **updates)
         log(f"capacity overflow -> {updates}")
     state, dt = s_try, d_try

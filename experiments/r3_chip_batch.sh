@@ -39,6 +39,9 @@ run 1m-q32-split3  1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B --force-query-rows 3
 run 1m-tier2       1200 $B --max-candidates-sub 96 --tier2-frac 8
 run 1m-tier2-q32   1200 $B --max-candidates-sub 96 --tier2-frac 8 --force-query-rows 32
 run 1m-split3      1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B
+run 1m-q32-c16     1200 $B --force-query-rows 32 --force-sub16
+run 1m-q32-c16-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
+    --force-query-rows 32 --force-sub16
 run 1m-tier2-q32-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
     --max-candidates-sub 96 --tier2-frac 8 --force-query-rows 32
 

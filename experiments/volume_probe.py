@@ -146,9 +146,9 @@ def main():
             h_q128_c16 = jnp.sum(h16)
             # (q32, c32): per 32-row query group
             hq = jnp.any(hit.reshape(4, 32, msub, 32), axis=(1, 3))
-            h_q32_c32 = jnp.sum(hq, axis=1)  # (4,)
+            h_q32_c32 = jnp.sum(hq, axis=1)  # (4,) per-subgroup counts
             hq16 = jnp.any(hit.reshape(4, 32, msub, 2, 16), axis=(1, 4))
-            h_q32_c16 = jnp.sum(hq16, axis=(1, 2))
+            h_q32_c16 = jnp.sum(hq16, axis=(1, 2))  # (4,) per subgroup
             # true pair count (live pairs within h)
             npairs = jnp.sum(jnp.where(qreal[:, None, None] > 0, hit, False))
             # ---- stage-2 subgroup-refine ADMITTED volumes: what a
@@ -208,10 +208,14 @@ def main():
     )
     print(
         f"true-hit (q32,c32): mean={h_q32c32[:nblocks_real].mean():.1f}"
+        f" max={h_q32c32[:nblocks_real].max()}"
+        f" p99={np.percentile(h_q32c32[:nblocks_real], 99):.0f}"
         f" slots/p={h_q32c32[:nblocks_real].mean() * 32:.0f}"
     )
     print(
         f"true-hit (q32,c16): mean={h_q32c16[:nblocks_real].mean():.1f}"
+        f" max={h_q32c16[:nblocks_real].max()}"
+        f" p99={np.percentile(h_q32c16[:nblocks_real], 99):.0f}"
         f" slots/p={h_q32c16[:nblocks_real].mean() * 16:.0f}"
     )
     bb = adm_bb[:nblocks_real]

@@ -210,7 +210,12 @@ class SPHSimulation:
             if flags & FLAG_CAPACITY_T2:
                 updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
             if flags & FLAG_CAPACITY_HIT:
-                updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
+                if cfg.force_sub16 and cfg.force_query_rows == 32:
+                    updates["max_candidates_hit16"] = (
+                        cfg.max_candidates_hit16 * 2
+                    )
+                else:
+                    updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
             cfg = dataclasses.replace(cfg, **updates)
             grown = updates
         else:

@@ -102,6 +102,14 @@ class StepConfig:
     # (experiments/volume_probe.py). 128: the round-3 whole-block
     # force pass. Only takes effect when nl_query_rows == 128.
     force_query_rows: int = 128
+    # 16-wide candidate subblocks for the q32 force pass (force_query
+    # rows 32 only): the density kernel emits flags per HALF-subblock
+    # (hit_sub=16) and the force pass gathers/computes 16-particle
+    # candidate rows — measured true-hit volume 552 vs 770
+    # slots/particle (experiments/volume_probe.py; p99 per-subgroup
+    # count 48, max 55 -> max_candidates_hit16 default 64).
+    force_sub16: bool = False
+    max_candidates_hit16: int = 64
     # Two-tier candidate-capacity routing (nl variant, nl_query_rows
     # 128 only). 0 disables. k > 0: blocks whose refined count exceeds
     # max_candidates_sub are routed to a pool of ceil(nb/k) tier-2
@@ -389,10 +397,17 @@ def _density_forces_pallas_nl(
                 real, mass=mass, center=center,
             )[1]
 
+        def make_c16_pack(density, pressure):
+            return nl.make_c16_force_pack(
+                state.position, state.velocity, density, pressure,
+                real, mass=mass, center=center,
+            )
+
         return nl_two_tier_passes(
             q_pos, c_pos_pack, make_q_force, make_c_force_pack,
             real, params, terms, config, r2_mxu,
             cand_sub, count_sub, self_lo, sub, flags,
+            make_c16_pack=make_c16_pack,
         )
 
     mass = params.particle_mass
@@ -414,22 +429,41 @@ def _density_forces_pallas_nl(
         and not asm
         and q_rows == 128
     )
+    sub16 = force_q32 and config.force_sub16
     if force_q32:
         # per-QUERY-SUBGROUP hit lists: 807 vs 1677 true-hit
         # slots/particle at 1M (experiments/volume_probe.py), no extra
-        # refine work — the density kernel's flags carry the split
+        # refine work — the density kernel's flags carry the split.
+        # force_sub16 narrows the flags to HALF-subblocks (hit_sub=16)
+        # for the 16-wide force pass: 552 slots/particle.
         density, hits = fused_density(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
             r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
+            hit_sub=nl.SUB16 if sub16 else nl.SUB,
         )
-        # per-subgroup caps halve (≈0.48x mean volume per subgroup)
-        cap32 = max(32, config.max_candidates_hit // 2)
-        cand_f, count_f, ovf3 = tiles_ops.compact_hits(
-            jnp.repeat(cand_sub, nl.QG, axis=0),
-            hits[:, : cand_sub.shape[1]],
-            cap32,
-            self_lo=jnp.repeat(self_lo, nl.QG), self_width=sub,
-        )
+        if sub16:
+            sent = tiles_ops.REFINE_SENTINEL
+            twice = jnp.where(cand_sub == sent, sent, cand_sub * 2)
+            ids16 = jnp.stack(
+                [twice, jnp.where(cand_sub == sent, sent, twice + 1)],
+                axis=-1,
+            ).reshape(cand_sub.shape[0], -1)  # slot j -> id16 of half j%2
+            cand_f, count_f, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(ids16, nl.QG, axis=0),
+                hits[:, : ids16.shape[1]],
+                config.max_candidates_hit16,
+                self_lo=jnp.repeat(self_lo * 2, nl.QG),
+                self_width=2 * sub,
+            )
+        else:
+            # per-subgroup caps halve (≈0.48x mean volume per subgroup)
+            cap32 = max(32, config.max_candidates_hit // 2)
+            cand_f, count_f, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(cand_sub, nl.QG, axis=0),
+                hits[:, : cand_sub.shape[1]],
+                cap32,
+                self_lo=jnp.repeat(self_lo, nl.QG), self_width=sub,
+            )
         flags = flags + ovf3.astype(jnp.int32) * FLAG_CAPACITY_HIT
     elif config.hit_compact:
         density, hits = fused_density(
@@ -458,7 +492,16 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, density, pressure, real, mass=mass,
         center=center,
     )
-    if force_q32:
+    if sub16:
+        c16_pack = nl.make_c16_force_pack(
+            state.position, state.velocity, density, pressure, real,
+            mass=mass, center=center,
+        )
+        accel = nl.fused_forces_nl32_c16(
+            q_force, c16_pack, cand_f, count_f, params, terms, real,
+            density, r2_mxu=r2_mxu,
+        )
+    elif force_q32:
         accel = nl.fused_forces_nl32(
             q_force, c_force_pack, cand_f, count_f, params, terms, real,
             density, r2_mxu=r2_mxu,
@@ -487,6 +530,7 @@ def nl_two_tier_passes(
     sub: int,
     flags: jnp.ndarray,
     fix_density=None,
+    make_c16_pack=None,
 ):
     """Two-tier density/force passes (see StepConfig.tier2_frac).
 
@@ -515,6 +559,13 @@ def nl_two_tier_passes(
     ``fix_density``: optional hook applied to the merged density before
     the force planes are rebuilt (the sharded engine resets sentinel
     rows to the rest density).
+
+    ``make_c16_pack``: optional (density, pressure) -> 16-wide force
+    pack closure; when given and config.force_sub16 is set, TIER-1
+    forces run the 16-wide q32 kernel (fused_forces_nl32_c16). Tier-2
+    stays at 32-wide whole-block panels (heavy rows are few). The
+    sharded caller does not provide it (its pack closures perform the
+    neighbour exchange; a 16-wide exchange pack is not built).
     """
     from ..ops.pallas import neighbor_nl as nl
 
@@ -535,6 +586,7 @@ def nl_two_tier_passes(
     force_q32 = (
         config.force_query_rows == 32 and config.hit_compact and B == 128
     )
+    sub16 = force_q32 and config.force_sub16 and make_c16_pack is not None
 
     # ---- density (+ hit flags), both tiers
     if config.hit_compact:
@@ -542,6 +594,7 @@ def nl_two_tier_passes(
             q_pos, c_pos_pack, cand1, count1, params, terms, real,
             r2_mxu=r2_mxu, want_hits=True,
             hit_groups=nl.QG if force_q32 else 1,
+            hit_sub=nl.SUB16 if sub16 else nl.SUB,
         )
         density2, hits2 = nl.fused_density_nl(
             q_pos2, c_pos_pack, cand2, count2, params, terms, real2,
@@ -575,7 +628,27 @@ def nl_two_tier_passes(
 
     # ---- forces, tier 1
     if config.hit_compact:
-        if force_q32:
+        if sub16:
+            sent = tiles_ops.REFINE_SENTINEL
+            twice = jnp.where(cand1 == sent, sent, cand1 * 2)
+            ids16 = jnp.stack(
+                [twice, jnp.where(cand1 == sent, sent, twice + 1)], axis=-1
+            ).reshape(nb, -1)
+            cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(ids16, nl.QG, axis=0),
+                hits1[:, : ids16.shape[1]],
+                config.max_candidates_hit16,
+                self_lo=(
+                    None if self_lo is None
+                    else jnp.repeat(self_lo * 2, nl.QG)
+                ),
+                self_width=2 * sub,
+            )
+            accel1 = nl.fused_forces_nl32_c16(
+                q_force, make_c16_pack(density, pressure), cand_f1,
+                count_f1, params, terms, real, density, r2_mxu=r2_mxu,
+            )
+        elif force_q32:
             cap32 = max(32, config.max_candidates_hit // 2)
             cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
                 jnp.repeat(cand1, nl.QG, axis=0),

@@ -55,6 +55,8 @@ from .neighbor import (
 LANES = 128
 SUB = 32  # candidate subblock size
 GROUP = LANES // SUB  # subblocks packed per tile
+SUB16 = 16  # fine candidate half-subblocks (force_sub16 path)
+GROUP16 = LANES // SUB16  # 16-wide subblocks packed per tile
 # candidate tiles consumed per grid step. The flat 2D tile stream is
 # blocked (TPS*F, 128); TPS=8 makes the sublane extent divisible by 8
 # (Mosaic's tiling rule) for both F=4 (32 rows) and F=9 (72 rows),
@@ -252,18 +254,19 @@ def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray,
     return out.reshape(-1, LANES)[: nb * mg * f_out]
 
 
-def _pad_groups(cand_sub, count):
-    """Pad the refined table to a whole number of (GROUP*TPS)-subblock
-    grid steps and convert counts to tile units."""
+def _pad_groups(cand_sub, count, group=GROUP):
+    """Pad the refined table to a whole number of (group*TPS)-subblock
+    grid steps and convert counts to tile units. ``group``: subblocks
+    lane-packed per tile (GROUP for 32-wide, GROUP16 for 16-wide)."""
     from ...ops.tiles import REFINE_SENTINEL
 
     nb, m = cand_sub.shape
-    step = GROUP * TPS
+    step = group * TPS
     mp = -(-m // step) * step
     if mp != m:
         pad = jnp.full((nb, mp - m), REFINE_SENTINEL, cand_sub.dtype)
         cand_sub = jnp.concatenate([cand_sub, pad], axis=1)
-    count_tiles = -(-count // GROUP)
+    count_tiles = -(-count // group)
     return cand_sub, count_tiles
 
 
@@ -338,7 +341,7 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
 
 
 def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
-                    hit_groups=1):
+                    hit_groups=1, hit_sub=SUB):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -351,15 +354,17 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
             tile = _tile_from_raw(c, s, 1)  # (4, 128)
+            # flag slots per tile = 128 lanes / hit_sub (4 at 32-wide,
+            # 8 at 16-wide flags for the force_sub16 path)
             hit_slot = (
-                (m * TPS + s) * GROUP if hit_rows else None
+                (m * TPS + s) * (LANES // hit_sub) if hit_rows else None
             )
             _density_core_rowout(
                 lambda k: q[0, k],
                 lambda k: tile[k : k + 1, :],
                 out,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
-                hit_slot=hit_slot, hit_rows=hit_rows, sub=SUB,
+                hit_slot=hit_slot, hit_rows=hit_rows, sub=hit_sub,
                 hit_groups=hit_groups,
             )
 
@@ -377,6 +382,7 @@ def fused_density_nl(
     r2_mxu: bool = False,
     want_hits: bool = False,
     hit_groups: int = 1,
+    hit_sub: int = SUB,
 ):
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
@@ -388,21 +394,28 @@ def fused_density_nl(
     input (see _density_core_rowout). Shape (nb, mp) at the default
     ``hit_groups=1``; with hit_groups=G the counters are per
     QUERY-SUBGROUP of bq/G rows, shape (nb*G, mp) with group-major
-    rows, feeding the q32-granular force pass (fused_forces_nl32)."""
+    rows, feeding the q32-granular force pass (fused_forces_nl32).
+
+    ``hit_sub``: flag granularity in particles. 16 emits one flag per
+    HALF-subblock (slot j of the returned (rows, mp*2) table covers
+    particles [cand_sub[i, j//2]*32 + (j%2)*16, ..+16)), feeding the
+    16-wide force pass (fused_forces_nl32_c16)."""
     interpret = _interpret_default() if interpret is None else interpret
     cand_sub, count_tiles = _pad_groups(cand_sub, count)
     mp = cand_sub.shape[1]
     bq = q_pos.shape[2]  # query width = out lane extent
+    slots = mp * (SUB // hit_sub)  # flag slots across the padded table
     hit_rows = 0
     out_rows = 8
     if want_hits:
-        hit_rows = -(-mp // bq)
+        hit_rows = -(-slots // bq)
         flag_rows = hit_groups * hit_rows
         # density row 0 + flag rows, rounded to whole (8, 128) tiles
         out_rows = max(8, -(-(1 + flag_rows) // 8) * 8)
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
         r2_mxu=r2_mxu, hit_rows=hit_rows, hit_groups=hit_groups,
+        hit_sub=hit_sub,
     )
     wsum = _nl_call(
         kernel, q_pos, c_pos_pack, cand_sub, count_tiles, out_rows, interpret
@@ -415,7 +428,7 @@ def fused_density_nl(
     hits = wsum[:, 1 : 1 + hit_groups * hit_rows, :].reshape(
         nb * hit_groups, hit_rows * bq
     )
-    return density, hits[:, :mp]
+    return density, hits[:, :slots]
 
 
 def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
@@ -683,11 +696,14 @@ def _forces_kernel_q32(count_ref, q, qrow, c, out, acc, *, h, spiky, visc,
         _forces_finalize_q32(acc, qrow, out, g)
 
 
-def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret):
+def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
+               group=GROUP):
     """Driver for the q32 force kernel: grid (nb*QG, mg) where 4
     consecutive i's share one query block (and one out block — the
     finalize writes disjoint lane ranges). Chunked like _nl_call, with
-    chunks kept QG-aligned so subgroups never straddle a chunk."""
+    chunks kept QG-aligned so subgroups never straddle a chunk.
+    ``group``: candidate subblocks per 128-lane tile (GROUP for the
+    32-wide pack, GROUP16 for the 16-wide one)."""
     nb4 = cand_sub.shape[0]
     nb = q.shape[0]
     if nb4 != nb * QG:
@@ -695,7 +711,7 @@ def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret):
     f_q, b = q.shape[1], q.shape[2]
     fs = cpack.shape[1]
     mp = cand_sub.shape[1]
-    mg = mp // (TPS * GROUP)
+    mg = mp // (TPS * group)
     dead = cpack.shape[0] - 1
     q_row = q[..., 0]
     chunk = max(1, min(nb4, NL_CHUNK_BYTES // (mp * fs * 4)))
@@ -715,7 +731,7 @@ def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret):
                     (1, f_q, b), lambda i, m, n_: (i // QG, 0, 0)
                 ),
                 pl.BlockSpec(
-                    (TPS * GROUP, fs), lambda i, m, n_: (i * mg + m, 0)
+                    (TPS * group, fs), lambda i, m, n_: (i * mg + m, 0)
                 ),
             ],
             out_specs=pl.BlockSpec(
@@ -790,6 +806,152 @@ def fused_forces_nl32(
     )
     sums = _nl32_call(
         kernel, q_force, c_force_pack, cand_hit32, count_tiles, 10, interpret
+    )
+    return _combine_forces(sums, params, real_flat, density)
+
+
+# ----------------------------------------------------------------------
+# 16-wide candidate subblocks for the q32 force pass (force_sub16).
+#
+# Mosaic's DMA floor is 128 lanes, but nothing stops the CANDIDATE
+# granularity from being finer than 32 once the irregular access lives
+# in XLA's row gather: a 16-particle subblock is one flat (16*F)-lane
+# pack row, 8 of them lane-pack into a 128-lane tile, and the in-kernel
+# assembly is the same roll/select block transpose at 8x8 with 16-lane
+# cells. Measured true-hit volume at 1M-like states: (q32, c16) = 552
+# slots/particle vs 770 at (q32, c32) (experiments/volume_probe.py,
+# p99 count 48 / max 55 per subgroup -> default capacity 64). The hit
+# flags come from the same density pass at hit_sub=16 — the flag
+# matmul's selector just uses 16-lane quarters.
+# ----------------------------------------------------------------------
+
+
+def make_c16_force_pack(position, velocity, density, pressure, real,
+                        mass=1.0, gid_offset=0, gid=None, center=None):
+    """Force-field pack at 16-particle subblock rows: (nc16+1, 16*16)
+    flat rows [px py pz vx vy vz pm mr gid + 7 zero pads] x 16 lanes
+    each — 256 lanes = 2 whole vregs per row (the gather_raw layout
+    rule). Field order identical to make_csub_packs' force pack."""
+    n = position.shape[0]
+    nc = n // SUB16
+    if gid is None and isinstance(gid_offset, int) and (
+        n + gid_offset >= MAX_PARTICLES_F32_ID
+    ):
+        raise ValueError("particle ids exceed exact-f32 range")
+    if center is not None:
+        position = position - center
+    safe_rho = jnp.where(density > 0, density, 1.0)
+    pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
+    mr = jnp.where(real, mass / safe_rho, 0.0)
+    if gid is None:
+        gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
+    else:
+        gidf = gid.astype(jnp.float32)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+    fields = [px, py, pz, vx, vy, vz, pm, mr, gidf]
+    a = jnp.stack(fields, axis=0)  # (9, n)
+    a = a.reshape(9, nc, SUB16).swapaxes(0, 1).reshape(nc, 9 * SUB16)
+    a = jnp.pad(a, ((0, 0), (0, (16 - 9) * SUB16)))  # 256 lanes
+    dead = jnp.zeros((1, 16 * SUB16), jnp.float32)
+    dead = dead.at[:, : 3 * SUB16].set(FAR)
+    return jnp.concatenate([a, dead], axis=0)
+
+
+def _tile_from_raw16(craw, t):
+    """Assemble one (9, 128) candidate tile from 16-wide pack rows.
+
+    ``craw``: (TPS*GROUP16, 256) block of c16 pack rows; tile t uses
+    rows t*GROUP16..t*GROUP16+7. Each 128-lane half holds 8 fields x 16
+    lanes; the assembly is an 8x8 block transpose with 16-lane cells
+    per half (same roll/select rounds as :func:`_tile_from_raw`).
+    Output rows 0..8 = [px py pz vx vy vz pm mr gid] (half0's 8 fields
+    + half1's first field); pad fields are dropped."""
+    ct = craw[t * GROUP16 : (t + 1) * GROUP16, :]  # (8, 256)
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (GROUP16, LANES), 1) // SUB16
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (GROUP16, LANES), 0)
+    halves = []
+    for v in range(2):
+        cv = ct[:, v * LANES : (v + 1) * LANES]  # (8, 128)
+        out = jnp.zeros_like(cv)
+        for d in range(GROUP16):
+            r = pltpu.roll(cv, (GROUP16 - d) % GROUP16, axis=0)
+            r = pltpu.roll(r, d * SUB16, axis=1)
+            out = jnp.where((lane_q - row_i) % GROUP16 == d, r, out)
+        halves.append(out)
+    # rows: half0 = fields 0..7, half1 row 0 = field 8 (gid)
+    return jnp.concatenate([halves[0], halves[1][0:1]], axis=0)
+
+
+def _forces_kernel_q32_c16(count_ref, q, qrow, c, out, acc, *, h, spiky,
+                           visc, poly6_grad, poly6_lap, eps, r2_mxu):
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+    g = jax.lax.rem(i, QG)
+
+    @pl.when((m == 0) & (g == 0))
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    @pl.when(m == 0)
+    def _():
+        acc[...] = jnp.zeros_like(acc)
+
+    for s in range(TPS):
+
+        @pl.when(m * TPS + s < count_ref[i])
+        def _(s=s):
+            tile = _tile_from_raw16(c, s)  # (9, 128)
+            _forces_pair_q32(
+                lambda k: q[0, k],
+                lambda k: tile[k : k + 1, :],
+                qrow, acc,
+                h=h, spiky=spiky, visc=visc,
+                poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+                r2_mxu=r2_mxu,
+            )
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _():
+        _forces_finalize_q32(acc, qrow, out, g)
+
+
+def fused_forces_nl32_c16(
+    q_force: jnp.ndarray,
+    c16_force_pack: jnp.ndarray,
+    cand_hit16: jnp.ndarray,
+    count_hit16: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    real_flat: jnp.ndarray,
+    density: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    r2_mxu: bool = False,
+) -> jnp.ndarray:
+    """fused_forces_nl32 over 16-wide candidate subblocks:
+    ``cand_hit16``/``count_hit16`` (nb*QG, cap16) hold 16-granular ids
+    (32-id * 2 + half, from the density pass's hit_sub=16 flags);
+    ``c16_force_pack`` from :func:`make_c16_force_pack`. Physics
+    identical at ~0.72x the (q32, c32) pair volume (552 vs 770
+    slots/particle, experiments/volume_probe.py)."""
+    interpret = _interpret_default() if interpret is None else interpret
+    cand_hit16, count_tiles = _pad_groups(
+        cand_hit16, count_hit16, group=GROUP16
+    )
+    kernel = functools.partial(
+        _forces_kernel_q32_c16,
+        h=float(params.h),
+        spiky=float(terms.spiky),
+        visc=float(terms.viscosity),
+        poly6_grad=float(terms.poly_6_gradient),
+        poly6_lap=float(terms.poly_6_laplacian),
+        eps=smoothing.EPSILON,
+        r2_mxu=r2_mxu,
+    )
+    sums = _nl32_call(
+        kernel, q_force, c16_force_pack, cand_hit16, count_tiles, 10,
+        interpret, group=GROUP16,
     )
     return _combine_forces(sums, params, real_flat, density)
 #

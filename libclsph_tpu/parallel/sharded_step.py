@@ -748,6 +748,14 @@ def make_sharded_substep(
     (n_shards * block_size); see :func:`pad_for_mesh`. ``exchange`` /
     ``halo_max``: see :func:`_local_substep`.
     """
+    if config.force_sub16:
+        # the 16-wide force pack would need its own exchanged candidate
+        # table; not built yet — fail loudly rather than silently
+        # diverge from the single-chip configuration (VERDICT r2 #8)
+        raise NotImplementedError(
+            "force_sub16 is not supported under a mesh yet; unset it or "
+            "run single-chip"
+        )
     n_shards = mesh.shape[AXIS]
     pspec = P(AXIS)
     state_specs = ParticleState(

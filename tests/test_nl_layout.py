@@ -33,6 +33,66 @@ def _emulated_tile_from_raw(raw_rows, f_out):
     return tile
 
 
+def test_tile_from_raw16_matches_transpose(rng):
+    """The 16-wide assembly (_tile_from_raw16: 8x8 block transpose with
+    16-lane cells per 128-lane half) equals the index-level contract:
+    tile[f, s*16:(s+1)*16] = raw[s, f*16:(f+1)*16] for the 9 real
+    fields of make_c16_force_pack."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    raw = rng.standard_normal(
+        (nl.TPS * nl.GROUP16, 16 * nl.SUB16)
+    ).astype(np.float32)
+
+    def kernel(c_ref, out_ref):
+        for t in range(nl.TPS):
+            out_ref[t] = nl._tile_from_raw16(c_ref, t)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (nl.TPS, 9, nl.LANES), jnp.float32
+        ),
+        interpret=True,
+    )(jnp.asarray(raw))
+    out = np.asarray(out)
+    for t in range(nl.TPS):
+        rows = raw[t * nl.GROUP16 : (t + 1) * nl.GROUP16]
+        want = np.zeros((9, nl.LANES), np.float32)
+        for f in range(9):
+            for s in range(nl.GROUP16):
+                want[f, s * nl.SUB16 : (s + 1) * nl.SUB16] = rows[
+                    s, f * nl.SUB16 : (f + 1) * nl.SUB16
+                ]
+        np.testing.assert_array_equal(out[t], want)
+
+
+def test_c16_pack_field_layout(rng):
+    """make_c16_force_pack row r, lanes [f*16, (f+1)*16) hold field f
+    of particles [r*16, (r+1)*16) — same field order as the 32-wide
+    force pack — and the dead row's positions sit at FAR."""
+    n = 64
+    params = make_params(WATER, n=n)
+    pos = rng.standard_normal((n, 3)).astype(np.float32)
+    vel = rng.standard_normal((n, 3)).astype(np.float32)
+    dens = np.full((n,), params.fluid_density, np.float32)
+    press = rng.standard_normal((n,)).astype(np.float32)
+    real = jnp.ones((n,), bool)
+    pack = np.asarray(nl.make_c16_force_pack(
+        jnp.asarray(pos), jnp.asarray(vel), jnp.asarray(dens),
+        jnp.asarray(press), real, mass=params.particle_mass,
+    ))
+    assert pack.shape == (n // 16 + 1, 256)
+    r, f = 2, 4  # particles 32..47, field vy
+    np.testing.assert_array_equal(
+        pack[r, f * 16 : (f + 1) * 16], vel[32:48, 1]
+    )
+    np.testing.assert_array_equal(pack[1, 0:16], pos[16:32, 0])  # px
+    assert (pack[-1, : 3 * 16] == nl.FAR).all()  # dead row positions
+    assert (pack[:, 9 * 16 :][:-1] == 0).all()  # pad fields zero
+
+
 def test_gather_raw_assembly_matches_gather_tiles(rng):
     """The raw-row feed + in-register assembly equals gather_tiles'
     pre-packed tile stream field-for-field."""

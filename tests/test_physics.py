@@ -475,6 +475,55 @@ def test_force_q32_matches_q128(rng):
     np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
 
 
+def test_force_sub16_matches_q128(rng):
+    """The 16-wide q32 force pass (hit_sub=16 flags + 16-particle
+    candidate rows, neighbor_nl.fused_forces_nl32_c16) reproduces the
+    whole-block force pass up to f32 summation order."""
+    params = make_params(WATER, n=2048)
+    pos, vel = random_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+        max_candidates_sub=96, max_candidates_hit=64,
+    )
+    s128, _, f128 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(force_query_rows=128, **base),
+    )
+    s16, _, f16 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(force_query_rows=32, force_sub16=True, **base),
+    )
+    assert not bool(f128) and not bool(f16)
+    np.testing.assert_array_equal(
+        np.asarray(s128.density), np.asarray(s16.density)
+    )
+    a1 = np.asarray(s128.acceleration)
+    a2 = np.asarray(s16.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+
+
+def test_force_sub16_capacity_overflow_flags(rng):
+    """A too-small max_candidates_hit16 must raise FLAG_CAPACITY_HIT
+    (the engine then doubles hit16, not hit) — truncation is never
+    silent."""
+    from test_tier2 import clustered_cloud
+    from libclsph_tpu.engine.step import FLAG_CAPACITY_HIT
+
+    params = make_params(WATER, n=2048)
+    pos, vel = clustered_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    _, _, flags = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+            max_candidates_sub=192, max_candidates_hit=192,
+            force_query_rows=32, force_sub16=True, max_candidates_hit16=32,
+        ),
+    )
+    assert int(flags) & FLAG_CAPACITY_HIT
+
+
 def test_q32_forces_wide_capacity(rng):
     """q32 vs q128 forces at max_candidates_sub > 128 — the hit-flag
     planes then span hit_rows=2 output rows per subgroup, a layout the

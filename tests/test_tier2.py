@@ -82,13 +82,18 @@ def test_route_overflow_unit():
     assert bool(pool_ovf)
 
 
-@pytest.mark.parametrize("force_query_rows", [128, 32])
-def test_tier2_matches_single_tier(rng, force_query_rows):
+@pytest.mark.parametrize(
+    "force_query_rows,force_sub16",
+    [(128, False), (32, False), (32, True)],
+    ids=["q128", "q32", "q32-c16"],
+)
+def test_tier2_matches_single_tier(rng, force_query_rows, force_sub16):
     """A two-tier run (small base cap + routed heavy tail) reproduces
     the single-tier run at the full capacity bit-for-bit: both tiers
     execute the identical kernels over identical sorted candidate
     lists — the routing only changes WHICH dispatch a block's
-    accumulation happens in."""
+    accumulation happens in. The q32-c16 case additionally covers the
+    16-wide tier-1 force path (hit_sub=16 flags + make_c16_pack)."""
     n = 4096
     params = make_params(WATER, n=n)
     pos, vel = clustered_cloud(rng, params, n)
@@ -107,6 +112,7 @@ def test_tier2_matches_single_tier(rng, force_query_rows):
     base = dict(
         neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
         max_candidates_hit=2 * c1, force_query_rows=force_query_rows,
+        force_sub16=force_sub16, max_candidates_hit16=4 * c1,
     )
     s1, _, f1 = substep_jit(
         state, jnp.float32(1e-9), params, None,

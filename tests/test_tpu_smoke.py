@@ -106,8 +106,12 @@ def test_exact_matches_tiles_on_chip():
         # tier-2 kernel dispatches + scatter merge)
         dict(max_candidates_sub=96, max_candidates_hit=96,
              tier2_frac=8, tier2_mult=2),
+        # 16-wide candidate subblocks: hit_sub=16 flag planes + the
+        # 8x8 in-kernel block transpose (_tile_from_raw16)
+        dict(max_candidates_sub=96, max_candidates_hit=96,
+             force_sub16=True),
     ],
-    ids=["q32-wide", "q32-tier2"],
+    ids=["q32-wide", "q32-tier2", "q32-c16"],
 )
 def test_mosaic_q32_regimes_match_tiles(extra):
     """The q32 force pass's Mosaic compile at capacities/configs the
