@@ -171,6 +171,18 @@ def _nl_passes(
             center=center,
         )
 
+    def pack_c16(cf):
+        return nl.make_c16_force_pack(
+            cf.position.reshape(-1, 3),
+            cf.velocity.reshape(-1, 3),
+            cf.density.reshape(-1),
+            cf.pressure.reshape(-1),
+            cf.real.reshape(-1),
+            mass=mass,
+            gid=cf.gid.reshape(-1),
+            center=center,
+        )
+
     q_pos, _ = nl.make_query_planes(
         state_s.position, state_s.velocity, state_s.density, state_s.pressure,
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
@@ -194,6 +206,13 @@ def _nl_passes(
             )
             return packs(force_fields(blk))[1]
 
+        def make_c16_pack(density, pressure):
+            blk = blocked._replace(
+                density=density.reshape(blocked.density.shape),
+                pressure=pressure.reshape(blocked.pressure.shape),
+            )
+            return pack_c16(force_fields(blk))
+
         return nl_two_tier_passes(
             q_pos, c_pos_pack, make_q_force, make_c_force_pack,
             valid_s, params, terms, config, r2_mxu,
@@ -202,6 +221,7 @@ def _nl_passes(
             fix_density=lambda d: jnp.where(
                 valid_s, d, params.fluid_density
             ),
+            make_c16_pack=make_c16_pack,
         )
     # q32 force pass (engine/step.py force_query_rows rationale):
     # per-QUERY-SUBGROUP hit lists halve the true-hit pair volume
@@ -210,21 +230,41 @@ def _nl_passes(
         and config.hit_compact
         and q_rows == 128
     )
+    sub16 = force_q32 and config.force_sub16
     if force_q32:
         density, hits = nl.fused_density_nl(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
             r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
+            hit_sub=nl.SUB16 if sub16 else nl.SUB,
         )
-        cap32 = max(32, config.max_candidates_hit // 2)
-        cand_f, count_f, ovf_h = tiles_ops.compact_hits(
-            jnp.repeat(cand_sub, nl.QG, axis=0),
-            hits[:, : cand_sub.shape[1]],
-            cap32,
-            self_lo=(
-                None if self_lo is None else jnp.repeat(self_lo, nl.QG)
-            ),
-            self_width=sub,
-        )
+        if sub16:
+            sent = tiles_ops.REFINE_SENTINEL
+            twice = jnp.where(cand_sub == sent, sent, cand_sub * 2)
+            ids16 = jnp.stack(
+                [twice, jnp.where(cand_sub == sent, sent, twice + 1)],
+                axis=-1,
+            ).reshape(cand_sub.shape[0], -1)
+            cand_f, count_f, ovf_h = tiles_ops.compact_hits(
+                jnp.repeat(ids16, nl.QG, axis=0),
+                hits[:, : ids16.shape[1]],
+                config.max_candidates_hit16,
+                self_lo=(
+                    None if self_lo is None
+                    else jnp.repeat(self_lo * 2, nl.QG)
+                ),
+                self_width=2 * sub,
+            )
+        else:
+            cap32 = max(32, config.max_candidates_hit // 2)
+            cand_f, count_f, ovf_h = tiles_ops.compact_hits(
+                jnp.repeat(cand_sub, nl.QG, axis=0),
+                hits[:, : cand_sub.shape[1]],
+                cap32,
+                self_lo=(
+                    None if self_lo is None else jnp.repeat(self_lo, nl.QG)
+                ),
+                self_width=sub,
+            )
     elif config.hit_compact:
         density, hits = nl.fused_density_nl(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
@@ -254,7 +294,12 @@ def _nl_passes(
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
     _, c_force_pack = packs(force_fields(blocked))
-    if force_q32:
+    if sub16:
+        accel = nl.fused_forces_nl32_c16(
+            q_force, pack_c16(force_fields(blocked)), cand_f, count_f,
+            params, terms, valid_s, density, r2_mxu=r2_mxu,
+        )
+    elif force_q32:
         accel = nl.fused_forces_nl32(
             q_force, c_force_pack, cand_f, count_f, params, terms,
             valid_s, density, r2_mxu=r2_mxu,
@@ -748,14 +793,6 @@ def make_sharded_substep(
     (n_shards * block_size); see :func:`pad_for_mesh`. ``exchange`` /
     ``halo_max``: see :func:`_local_substep`.
     """
-    if config.force_sub16:
-        # the 16-wide force pack would need its own exchanged candidate
-        # table; not built yet — fail loudly rather than silently
-        # diverge from the single-chip configuration (VERDICT r2 #8)
-        raise NotImplementedError(
-            "force_sub16 is not supported under a mesh yet; unset it or "
-            "run single-chip"
-        )
     n_shards = mesh.shape[AXIS]
     pspec = P(AXIS)
     state_specs = ParticleState(
