@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--force-sub16", action="store_true",
                     help="16-wide candidate subblocks for the q32 force pass")
     ap.add_argument("--max-candidates-hit16", type=int, default=64)
+    ap.add_argument("--density-sub16", action="store_true",
+                    help="16-wide candidate tables for the density pass too "
+                    "(implies --force-sub16 force path; size "
+                    "--max-candidates-sub in 16-wide units, ~1.5x)")
     ap.add_argument("--tier2-frac", type=int, default=0)
     ap.add_argument("--tier2-mult", type=int, default=2)
     ap.add_argument("--json-only", action="store_true")
@@ -96,6 +100,7 @@ def main():
         force_query_rows=args.force_query_rows,
         force_sub16=args.force_sub16,
         max_candidates_hit16=args.max_candidates_hit16,
+        density_sub16=args.density_sub16,
         tier2_frac=args.tier2_frac,
         tier2_mult=args.tier2_mult,
     )
@@ -140,6 +145,7 @@ def main():
             cfg.neighbor_impl == "pallas"
             and cfg.pallas_variant == "nl"
             and cfg.nl_query_rows >= cfg.block_size
+            and not cfg.density_sub16  # t2 force panels are 32-wide
         )
         updates = {}
         if ovf & FLAG_CAPACITY:

@@ -42,6 +42,11 @@ run 1m-split3      1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B
 run 1m-q32-c16     1200 $B --force-query-rows 32 --force-sub16
 run 1m-q32-c16-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
     --force-query-rows 32 --force-sub16
+run 1m-c16-all     1200 $B --force-query-rows 32 --force-sub16 \
+    --density-sub16 --max-candidates-sub 192
+run 1m-c16-all-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
+    --force-query-rows 32 --force-sub16 --density-sub16 \
+    --max-candidates-sub 192
 run 1m-tier2-q32-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
     --max-candidates-sub 96 --tier2-frac 8 --force-query-rows 32
 
@@ -70,6 +75,9 @@ print(rec["tag"], "OK" if "error" not in rec else "FAILED")
 
 # -- current stage breakdown at 1M (pick the next lever from data) ---
 runtxt nl-profile-1m 2400 python experiments/nl_profile.py
+
+# -- radix sort vs lax.sort (verdict #6) ------------------------------
+runtxt radix-probe 2400 python experiments/radix_probe.py
 
 # -- full Mosaic smoke suite on chip (incl. 1-device-mesh sharded) ----
 runtxt tpu-smoke 5400 env LIBCLSPH_TPU_ALLOW_TPU=1 \

@@ -194,6 +194,7 @@ class SPHSimulation:
                 cfg.neighbor_impl == "pallas"
                 and cfg.pallas_variant == "nl"
                 and cfg.nl_query_rows >= cfg.block_size
+                and not cfg.density_sub16  # t2 force panels are 32-wide
             )
             if flags & FLAG_CAPACITY:
                 updates["max_candidates"] = cfg.max_candidates * 2

@@ -110,6 +110,17 @@ class StepConfig:
     # count 48, max 55 -> max_candidates_hit16 default 64).
     force_sub16: bool = False
     max_candidates_hit16: int = 64
+    # 16-wide candidate subblocks for the DENSITY pass too: the exact
+    # refine emits 16-granular ids directly (sub=8 per block — the
+    # test is granularity-generic) and the density kernel consumes a
+    # 16-wide pos pack. Admitted volume ~1250 vs 1679 slots/particle
+    # at (q128, c32) (experiments/volume_probe.py ladder; the 32-wide
+    # refine is near-true-hit, so the cut is pure granularity).
+    # Requires force_query_rows=32 + force_sub16 (all candidate tables
+    # become 16-granular); incompatible with tier2 (tier-2 force runs
+    # 32-wide whole-block panels). NOTE: max_candidates_sub then
+    # counts 16-wide subblocks — size it ~1.5x the 32-wide cap.
+    density_sub16: bool = False
     # Two-tier candidate-capacity routing (nl variant, nl_query_rows
     # 128 only). 0 disables. k > 0: blocks whose refined count exceeds
     # max_candidates_sub are routed to a pool of ceil(nb/k) tier-2
@@ -312,13 +323,25 @@ def _density_forces_pallas_nl(
     cand, count, ovf = tiles_ops.candidate_blocks_auto(
         bmin, bmax, params.h, cfg.max_candidates
     )
-    sub = cfg.block_size // nl.SUB
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
     asm = config.pallas_variant == "asm"
     # two-tier overflow routing (see StepConfig.tier2_frac): the refine
     # emits lists at the TIER-2 width; tier-1 consumers slice [:c1]
     use_t2 = config.tier2_frac > 0 and not asm and q_rep == 1
+    dsub16 = config.density_sub16
+    if dsub16 and (
+        asm or q_rep > 1 or use_t2
+        or config.force_query_rows != 32
+        or not config.force_sub16
+        or not config.hit_compact
+    ):
+        raise ValueError(
+            "density_sub16 requires the nl variant at whole-block query "
+            "rows with force_query_rows=32 + force_sub16 + hit_compact, "
+            "and no tier2 routing (tier-2 force panels are 32-wide)"
+        )
+    sub = cfg.block_size // (nl.SUB16 if dsub16 else nl.SUB)
     cap_sub = config.max_candidates_sub * (
         config.tier2_mult if use_t2 else 1
     )
@@ -419,10 +442,13 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, state.density, state.pressure,
         real, q_rows, mass=mass, center=center,
     )
-    c_pos_pack, _ = make_cpacks(
-        state.position, state.velocity, state.density, state.pressure,
-        real, mass=mass, center=center,
-    )
+    if dsub16:
+        c_pos_pack = nl.make_c16_pos_pack(state.position, real, center=center)
+    else:
+        c_pos_pack, _ = make_cpacks(
+            state.position, state.velocity, state.density, state.pressure,
+            real, mass=mass, center=center,
+        )
     force_q32 = (
         config.force_query_rows == 32
         and config.hit_compact
@@ -439,9 +465,19 @@ def _density_forces_pallas_nl(
         density, hits = fused_density(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
             r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
-            hit_sub=nl.SUB16 if sub16 else nl.SUB,
+            hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=dsub16,
         )
-        if sub16:
+        if dsub16:
+            # candidate ids are already 16-granular (refine at sub=8):
+            # flags are slot-aligned with cand_sub, no interleave
+            cand_f, count_f, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(cand_sub, nl.QG, axis=0),
+                hits[:, : cand_sub.shape[1]],
+                config.max_candidates_hit16,
+                self_lo=jnp.repeat(self_lo, nl.QG),
+                self_width=sub,
+            )
+        elif sub16:
             sent = tiles_ops.REFINE_SENTINEL
             twice = jnp.where(cand_sub == sent, sent, cand_sub * 2)
             ids16 = jnp.stack(

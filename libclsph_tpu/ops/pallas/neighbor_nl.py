@@ -271,16 +271,18 @@ def _pad_groups(cand_sub, count, group=GROUP):
 
 
 def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
-             with_qrow=False):
+             with_qrow=False, group=GROUP):
     """Shared driver for the nl kernels: lax.map over query-block
     chunks, each chunk = row gather (gather_raw) + one pallas_call over
     (chunk, mg) grid steps. Chunking bounds the raw-stream transient to
-    NL_CHUNK_BYTES; XLA frees each chunk's stream before the next."""
+    NL_CHUNK_BYTES; XLA frees each chunk's stream before the next.
+    ``group``: candidate subblocks per 128-lane tile (GROUP at 32-wide,
+    GROUP16 at 16-wide)."""
     nb = q.shape[0]
     f_q, b = q.shape[1], q.shape[2]
     fs = cpack.shape[1]
     mp = cand_sub.shape[1]
-    mg = mp // (TPS * GROUP)
+    mg = mp // (TPS * group)
     dead = cpack.shape[0] - 1
     chunk = max(1, min(nb, NL_CHUNK_BYTES // (mp * fs * 4)))
     q_row = q[..., 0] if with_qrow else None
@@ -302,7 +304,7 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
             )
             extra = (qrow_c,)
         in_specs.append(
-            pl.BlockSpec((TPS * GROUP, fs), lambda i, m, n_: (i * mg + m, 0))
+            pl.BlockSpec((TPS * group, fs), lambda i, m, n_: (i * mg + m, 0))
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -341,7 +343,7 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
 
 
 def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
-                    hit_groups=1, hit_sub=SUB):
+                    hit_groups=1, hit_sub=SUB, c16=False):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -353,7 +355,14 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
 
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
-            tile = _tile_from_raw(c, s, 1)  # (4, 128)
+            if c16:
+                # (nc16-granular pos pack: 8 fields x 16 lanes, one
+                # vreg per row; rows 0..3 = px py pz realmask)
+                tile = _transpose16_half(
+                    c[s * GROUP16 : (s + 1) * GROUP16, :]
+                )
+            else:
+                tile = _tile_from_raw(c, s, 1)  # (4, 128)
             # flag slots per tile = 128 lanes / hit_sub (4 at 32-wide,
             # 8 at 16-wide flags for the force_sub16 path)
             hit_slot = (
@@ -383,6 +392,7 @@ def fused_density_nl(
     want_hits: bool = False,
     hit_groups: int = 1,
     hit_sub: int = SUB,
+    c16: bool = False,
 ):
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
@@ -399,12 +409,22 @@ def fused_density_nl(
     ``hit_sub``: flag granularity in particles. 16 emits one flag per
     HALF-subblock (slot j of the returned (rows, mp*2) table covers
     particles [cand_sub[i, j//2]*32 + (j%2)*16, ..+16)), feeding the
-    16-wide force pass (fused_forces_nl32_c16)."""
+    16-wide force pass (fused_forces_nl32_c16).
+
+    ``c16``: the candidate table/pack are natively 16-granular
+    (density_sub16 path: ids from refine at sub=8 per block, pack from
+    make_c16_pos_pack) — flags are then slot-aligned with ``cand_sub``
+    itself and ``hit_sub`` is implied 16."""
     interpret = _interpret_default() if interpret is None else interpret
-    cand_sub, count_tiles = _pad_groups(cand_sub, count)
+    group = GROUP16 if c16 else GROUP
+    if c16:
+        hit_sub = SUB16
+    cand_sub, count_tiles = _pad_groups(cand_sub, count, group=group)
     mp = cand_sub.shape[1]
     bq = q_pos.shape[2]  # query width = out lane extent
-    slots = mp * (SUB // hit_sub)  # flag slots across the padded table
+    # flag slots across the padded table (16-granular tables are
+    # already one slot per candidate id)
+    slots = mp if c16 else mp * (SUB // hit_sub)
     hit_rows = 0
     out_rows = 8
     if want_hits:
@@ -415,10 +435,11 @@ def fused_density_nl(
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
         r2_mxu=r2_mxu, hit_rows=hit_rows, hit_groups=hit_groups,
-        hit_sub=hit_sub,
+        hit_sub=hit_sub, c16=c16,
     )
     wsum = _nl_call(
-        kernel, q_pos, c_pos_pack, cand_sub, count_tiles, out_rows, interpret
+        kernel, q_pos, c_pos_pack, cand_sub, count_tiles, out_rows,
+        interpret, group=group,
     )
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     density = jnp.where(real_flat, density, params.fluid_density)
@@ -858,6 +879,25 @@ def make_c16_force_pack(position, velocity, density, pressure, real,
     return jnp.concatenate([a, dead], axis=0)
 
 
+def make_c16_pos_pack(position, real, center=None):
+    """Position pack at 16-particle subblock rows for the c16 density
+    pass: (nc16+1, 8*16) flat rows [px py pz realmask + 4 zero pads]
+    x 16 lanes — one whole vreg per row. Field order matches
+    make_csub_packs' pos pack (density core rows 0..3)."""
+    n = position.shape[0]
+    nc = n // SUB16
+    if center is not None:
+        position = position - center
+    realf = real.astype(jnp.float32)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    a = jnp.stack([px, py, pz, realf], axis=0)  # (4, n)
+    a = a.reshape(4, nc, SUB16).swapaxes(0, 1).reshape(nc, 4 * SUB16)
+    a = jnp.pad(a, ((0, 0), (0, 4 * SUB16)))  # 128 lanes
+    dead = jnp.zeros((1, 8 * SUB16), jnp.float32)
+    dead = dead.at[:, : 3 * SUB16].set(FAR)
+    return jnp.concatenate([a, dead], axis=0)
+
+
 def _tile_from_raw16(craw, t):
     """Assemble one (9, 128) candidate tile from 16-wide pack rows.
 
@@ -868,19 +908,25 @@ def _tile_from_raw16(craw, t):
     Output rows 0..8 = [px py pz vx vy vz pm mr gid] (half0's 8 fields
     + half1's first field); pad fields are dropped."""
     ct = craw[t * GROUP16 : (t + 1) * GROUP16, :]  # (8, 256)
-    lane_q = jax.lax.broadcasted_iota(jnp.int32, (GROUP16, LANES), 1) // SUB16
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (GROUP16, LANES), 0)
-    halves = []
-    for v in range(2):
-        cv = ct[:, v * LANES : (v + 1) * LANES]  # (8, 128)
-        out = jnp.zeros_like(cv)
-        for d in range(GROUP16):
-            r = pltpu.roll(cv, (GROUP16 - d) % GROUP16, axis=0)
-            r = pltpu.roll(r, d * SUB16, axis=1)
-            out = jnp.where((lane_q - row_i) % GROUP16 == d, r, out)
-        halves.append(out)
+    halves = [
+        _transpose16_half(ct[:, v * LANES : (v + 1) * LANES])
+        for v in range(2)
+    ]
     # rows: half0 = fields 0..7, half1 row 0 = field 8 (gid)
     return jnp.concatenate([halves[0], halves[1][0:1]], axis=0)
+
+
+def _transpose16_half(cv):
+    """8x8 block transpose with 16-lane cells on one (8, 128) vreg
+    column: dest[f, s*16:(s+1)*16] = src[s, f*16:(f+1)*16]."""
+    lane_q = jax.lax.broadcasted_iota(jnp.int32, (GROUP16, LANES), 1) // SUB16
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (GROUP16, LANES), 0)
+    out = jnp.zeros_like(cv)
+    for d in range(GROUP16):
+        r = pltpu.roll(cv, (GROUP16 - d) % GROUP16, axis=0)
+        r = pltpu.roll(r, d * SUB16, axis=1)
+        out = jnp.where((lane_q - row_i) % GROUP16 == d, r, out)
+    return out
 
 
 def _forces_kernel_q32_c16(count_ref, q, qrow, c, out, acc, *, h, spiky,

@@ -107,13 +107,25 @@ def _nl_passes(
         center = None
 
     cfg = config.tile_config()
-    sub = cfg.block_size // nl.SUB
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
     # two-tier overflow routing (engine/step.py StepConfig.tier2_frac):
     # refine at the tier-2 width, route heavy rows per shard — all
     # shard-local ops, no extra collectives
     use_t2 = config.tier2_frac > 0 and q_rep == 1
+    dsub16 = config.density_sub16
+    if dsub16 and (
+        q_rep > 1 or use_t2
+        or config.force_query_rows != 32
+        or not config.force_sub16
+        or not config.hit_compact
+    ):
+        raise ValueError(
+            "density_sub16 requires whole-block query rows with "
+            "force_query_rows=32 + force_sub16 + hit_compact and no "
+            "tier2 routing (engine/step.py rationale)"
+        )
+    sub = cfg.block_size // (nl.SUB16 if dsub16 else nl.SUB)
     cap_sub = config.max_candidates_sub * (
         config.tier2_mult if use_t2 else 1
     )
@@ -187,7 +199,14 @@ def _nl_passes(
         state_s.position, state_s.velocity, state_s.density, state_s.pressure,
         valid_s, q_rows, mass=mass, gid_offset=gid_offset, center=center,
     )
-    c_pos_pack, _ = packs(pos_fields)
+    if dsub16:
+        c_pos_pack = nl.make_c16_pos_pack(
+            pos_fields.position.reshape(-1, 3),
+            pos_fields.real.reshape(-1),
+            center=center,
+        )
+    else:
+        c_pos_pack, _ = packs(pos_fields)
     if use_t2:
         # tier routing is shard-local: heavy QUERY rows of this shard
         # route to its own tier-2 pool; only the force-pack closure
@@ -235,9 +254,21 @@ def _nl_passes(
         density, hits = nl.fused_density_nl(
             q_pos, c_pos_pack, cand_sub, count_sub, params, terms, valid_s,
             r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
-            hit_sub=nl.SUB16 if sub16 else nl.SUB,
+            hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=dsub16,
         )
-        if sub16:
+        if dsub16:
+            # 16-granular ids straight from the refine: flags are
+            # slot-aligned, no interleave (engine/step.py rationale)
+            cand_f, count_f, ovf_h = tiles_ops.compact_hits(
+                jnp.repeat(cand_sub, nl.QG, axis=0),
+                hits[:, : cand_sub.shape[1]],
+                config.max_candidates_hit16,
+                self_lo=(
+                    None if self_lo is None else jnp.repeat(self_lo, nl.QG)
+                ),
+                self_width=sub,
+            )
+        elif sub16:
             sent = tiles_ops.REFINE_SENTINEL
             twice = jnp.where(cand_sub == sent, sent, cand_sub * 2)
             ids16 = jnp.stack(

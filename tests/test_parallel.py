@@ -127,19 +127,28 @@ class TestShardedStep:
         np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
         assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
 
-    @pytest.mark.parametrize("force_sub16", [False, True], ids=["c32", "c16"])
-    def test_pallas_nl_q32_matches_single_chip(self, force_sub16):
+    @pytest.mark.parametrize(
+        "force_sub16,density_sub16",
+        [(False, False), (True, False), (True, True)],
+        ids=["c32", "c16-force", "c16-all"],
+    )
+    def test_pallas_nl_q32_matches_single_chip(
+        self, force_sub16, density_sub16
+    ):
         """The q32 force pass (per-query-subgroup hit lists,
         force_query_rows=32) under a mesh reproduces the single-chip
         q32 physics — the sharded engine keeps feature parity with the
-        single-chip production path, incl. the 16-wide candidate path
-        (force_sub16: exchanged-table c16 pack + 16-granular ids)."""
+        single-chip production path, incl. the 16-wide candidate paths
+        (force_sub16 / density_sub16: exchanged-table c16 packs +
+        16-granular ids)."""
         params = make_params(WATER, n=2048)
         cfg = StepConfig(
             neighbor_impl="pallas", pallas_variant="nl", block_size=128,
-            max_candidates=32, max_candidates_sub=96, max_candidates_hit=64,
+            max_candidates=32,
+            max_candidates_sub=144 if density_sub16 else 96,
+            max_candidates_hit=64,
             force_query_rows=32, adaptive_dt=False,
-            force_sub16=force_sub16,
+            force_sub16=force_sub16, density_sub16=density_sub16,
         )
         state0 = init_state(params)
         dt = jnp.float32(params.max_dt)

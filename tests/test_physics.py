@@ -503,6 +503,59 @@ def test_force_sub16_matches_q128(rng):
     np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
 
 
+def test_density_sub16_matches_q128(rng):
+    """The full-c16 path (density_sub16: 16-granular refine ids, c16
+    pos pack + c16 density kernel, slot-aligned hit flags, c16 force)
+    reproduces the q128/c32 production physics."""
+    params = make_params(WATER, n=2048)
+    pos, vel = random_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+    )
+    s128, _, f128 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(max_candidates_sub=96, max_candidates_hit=64, **base),
+    )
+    s16, _, f16 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(
+            max_candidates_sub=144, force_query_rows=32, force_sub16=True,
+            density_sub16=True, **base,
+        ),
+    )
+    assert not bool(f128) and not bool(f16)
+    d1 = np.asarray(s128.density)
+    d2 = np.asarray(s16.density)
+    # the c16 density kernel sums the same pairs in a different tile
+    # order -> f32 summation-order tolerance (not bitwise)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    a1 = np.asarray(s128.acceleration)
+    a2 = np.asarray(s16.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+
+
+def test_density_sub16_invalid_configs():
+    """density_sub16 outside its supported shape must raise, not
+    silently fall back (config-divergence guard)."""
+    params = make_params(WATER, n=512)
+    state = make_state(
+        np.zeros((512, 3), np.float32), np.zeros((512, 3), np.float32)
+    )
+    for bad in [
+        dict(force_query_rows=128),  # needs the q32 c16 force kernel
+        dict(force_query_rows=32, tier2_frac=8),  # t2 panels are 32-wide
+        dict(force_query_rows=32, force_sub16=False),
+    ]:
+        cfg = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+            density_sub16=True,
+            **{"force_sub16": True, **bad},
+        )
+        with pytest.raises(ValueError, match="density_sub16"):
+            substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+
+
 def test_force_sub16_capacity_overflow_flags(rng):
     """A too-small max_candidates_hit16 must raise FLAG_CAPACITY_HIT
     (the engine then doubles hit16, not hit) — truncation is never

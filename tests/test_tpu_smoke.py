@@ -110,8 +110,11 @@ def test_exact_matches_tiles_on_chip():
         # 8x8 in-kernel block transpose (_tile_from_raw16)
         dict(max_candidates_sub=96, max_candidates_hit=96,
              force_sub16=True),
+        # full-c16: 16-granular refine ids + c16 density kernel too
+        dict(max_candidates_sub=144, max_candidates_hit=96,
+             force_sub16=True, density_sub16=True),
     ],
-    ids=["q32-wide", "q32-tier2", "q32-c16"],
+    ids=["q32-wide", "q32-tier2", "q32-c16", "q32-c16-all"],
 )
 def test_mosaic_q32_regimes_match_tiles(extra):
     """The q32 force pass's Mosaic compile at capacities/configs the
