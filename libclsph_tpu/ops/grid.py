@@ -19,6 +19,7 @@ TPU-native redesign of the reference's grid machinery:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,18 @@ import jax.numpy as jnp
 from ..core import morton
 from ..core.params import SimulationParameters
 from ..core.state import ParticleState
+from . import radix_sort
+
+# "xla" (lax.sort_key_val) | "radix" (ops/radix_sort.py MXU-scan radix
+# over the 30-bit Morton keys). Both are stable -> bit-identical; pick
+# per chip from experiments/radix_probe.py numbers.
+_SORT_IMPL = os.environ.get("LIBCLSPH_TPU_SORT", "xla")
+# radix only: Morton bits to sort. 30 is always safe (the 1024-cell
+# grid guard); a run whose grid never exceeds 2^(b/3) cells per axis
+# can drop to b bits and skip whole passes. UNCHECKED against the
+# dynamic grid — bench/expert knob, like the reference's fixed 4-pass
+# x 8-bit pipeline assuming 32-bit keys (sort.cl:1-200).
+_SORT_BITS = int(os.environ.get("LIBCLSPH_TPU_SORT_BITS", "30"))
 
 
 class GridInfo(NamedTuple):
@@ -71,7 +84,12 @@ def sort_by_cell(state: ParticleState, codes: jnp.ndarray):
     """
     n = codes.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    sorted_codes, order = jax.lax.sort_key_val(codes, iota)
+    if _SORT_IMPL == "radix":
+        sorted_codes, order = radix_sort.radix_sort_key_val(
+            codes, iota, num_bits=_SORT_BITS
+        )
+    else:
+        sorted_codes, order = jax.lax.sort_key_val(codes, iota)
     sorted_state = state.permute(order)
     sorted_state = sorted_state.replace(grid_index=sorted_codes)
     return sorted_state, sorted_codes, order
