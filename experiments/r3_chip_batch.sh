@@ -50,10 +50,19 @@ run 1m-c16-all-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
 run 1m-tier2-q32-split3 1200 env LIBCLSPH_TPU_DOT_MODE=split3 $B \
     --max-candidates-sub 96 --tier2-frac 8 --force-query-rows 32
 
+# -- 64k rows (the ms/frame + real-time workload scale) ----------------
+run 64k-control    900 $B --n 65536
+run 64k-c16-all    900 $B --n 65536 --force-query-rows 32 --force-sub16 \
+    --density-sub16 --max-candidates-sub 192
+
 # -- scale rows (verdict #5: 4M >= 2.4M p-steps/s) -------------------
 run 2m-tier2       1800 $B --n 2097152 --max-candidates-sub 96 --tier2-frac 8
 run 4m-tier2       2400 $B --n 4194304 --max-candidates-sub 96 --tier2-frac 8
 run 4m-control     2400 $B --n 4194304
+run 2m-c16-all     1800 $B --n 2097152 --force-query-rows 32 --force-sub16 \
+    --density-sub16 --max-candidates-sub 192
+run 4m-c16-all     2400 $B --n 4194304 --force-query-rows 32 --force-sub16 \
+    --density-sub16 --max-candidates-sub 288
 
 runtxt() { # runtxt <tag> <timeout-s> <cmd...> — records stdout as a string
   local tag="$1" t="$2"; shift 2
