@@ -120,4 +120,10 @@ print(f"frames={len(t_marks)} total={total:.1f}s "
 sys.exit(rc)
 EOF
 
+# -- flow-through scenes (BASELINE matrix #5): bake fix + r3 kernels --
+runtxt river-1m     3600 python experiments/scene_run.py river --frames 4 \
+    --out /tmp/river_r3_
+runtxt labyrinth-1m 3600 python experiments/scene_run.py labyrinth \
+    --frames 4 --out /tmp/laby_r3_
+
 echo "batch done -> $OUT" >&2
