@@ -67,6 +67,14 @@ def main():
                 "radix_b5_blk256",
                 lambda k, v: radix_sort_key_val(k, v, bits_per_pass=5, block=256),
             ),
+            (
+                "fused_b5",
+                lambda k, v: radix_sort_key_val(k, v, bits_per_pass=5, fused=True),
+            ),
+            (
+                "fused_b6",
+                lambda k, v: radix_sort_key_val(k, v, bits_per_pass=6, fused=True),
+            ),
         ]:
             try:
                 ms = timeit(chain(fn), keys, vals)

@@ -31,8 +31,9 @@ from ..core.state import ParticleState
 from . import radix_sort
 
 # "xla" (lax.sort_key_val) | "radix" (ops/radix_sort.py MXU-scan radix
-# over the 30-bit Morton keys). Both are stable -> bit-identical; pick
-# per chip from experiments/radix_probe.py numbers.
+# over the 30-bit Morton keys) | "radix-fused" (same, rank/hist stage
+# as a Pallas kernel). All stable -> bit-identical; pick per chip from
+# experiments/radix_probe.py numbers.
 _SORT_IMPL = os.environ.get("LIBCLSPH_TPU_SORT", "xla")
 # radix only: Morton bits to sort. 30 is always safe (the 1024-cell
 # grid guard); a run whose grid never exceeds 2^(b/3) cells per axis
@@ -84,9 +85,10 @@ def sort_by_cell(state: ParticleState, codes: jnp.ndarray):
     """
     n = codes.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
-    if _SORT_IMPL == "radix":
+    if _SORT_IMPL in ("radix", "radix-fused"):
         sorted_codes, order = radix_sort.radix_sort_key_val(
-            codes, iota, num_bits=_SORT_BITS
+            codes, iota, num_bits=_SORT_BITS,
+            fused=(_SORT_IMPL == "radix-fused"),
         )
     else:
         sorted_codes, order = jax.lax.sort_key_val(codes, iota)

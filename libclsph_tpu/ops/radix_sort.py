@@ -26,20 +26,111 @@ algorithm re-expressed in XLA ops chosen for TPU:
 Every pass is stable (offsets + in-order local ranks), so the result
 is bit-identical to ``jax.lax.sort_key_val`` (also stable), which
 remains the default backend; ``LIBCLSPH_TPU_SORT=radix`` switches
-``grid.sort_by_cell`` to this implementation (see
-``experiments/radix_probe.py`` for the on-chip comparison).
+``grid.sort_by_cell`` to this implementation and
+``LIBCLSPH_TPU_SORT=radix-fused`` to the Pallas-fused variant, which
+computes the rank/histogram stage in VMEM instead of materialised XLA
+one-hots (see ``experiments/radix_probe.py`` for the on-chip
+comparison).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # Morton codes are 3 x 10-bit coordinates (core/morton.py; the
 # reference's 1024-cells-per-axis guard, sph_simulation.cpp:700-728).
 MORTON_BITS = 30
+LANES = 128
+# query groups of 128 keys per Pallas grid step (fused impl)
+FUSED_GROUPS = 8
+
+
+def _interpret_default() -> bool:
+    if os.environ.get("LIBCLSPH_TPU_INTERPRET"):
+        return True
+    return jax.default_backend() != "tpu"
+
+
+def _rank_hist_kernel(keys_ref, local_ref, hist_ref, *, shift, d, groups):
+    """Per-128-lane-block digit ranks + histograms, one tile per step.
+
+    Each sublane row of the (groups, 128) key tile is one radix block.
+    For row r we build E[k, j] = (digit_j == k) directly in the
+    sublane-indexed orientation (no transpose: the (1, 128) digit row
+    broadcasts against a sublane iota), then one MXU matmul with the
+    upper-triangular ones matrix gives the inclusive lane scan
+    scanT[k, i] = #{j <= i : digit_j == k}. The element's own rank is
+    the E-masked sublane sum; the histogram is E's lane sum (written
+    as column r of the (128, groups) hist tile, so the pass's global
+    table lands digit-major in HBM with no relayout).
+
+    bf16 0/1 operands with f32 accumulation are exact (counts <= 128).
+    Replaces the reference's sort_count kernel + local scan
+    (sort.cl:23-40, prefix_sum_* sph.cl:788-881) with one fused pass.
+    """
+    kk = keys_ref[...]
+    dg = jax.lax.shift_right_logical(kk, shift) & (d - 1)
+    iota0 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    upper = (
+        iota0 <= jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    ).astype(jnp.bfloat16)
+    for r in range(groups):
+        row = dg[r : r + 1, :]  # (1, 128), broadcasts over sublanes
+        e = (iota0 == row).astype(jnp.bfloat16)
+        scan_t = jnp.dot(e, upper, preferred_element_type=jnp.float32)
+        ef = e.astype(jnp.float32)
+        local_ref[r : r + 1, :] = jnp.sum(
+            ef * scan_t, axis=0, keepdims=True
+        ).astype(jnp.int32)
+        hist_ref[:, r : r + 1] = jnp.sum(ef, axis=1, keepdims=True)
+
+
+def _radix_pass_fused(keys, vals, shift, *, bits, groups, interpret):
+    """One stable pass with the rank/histogram stage as a Pallas kernel.
+
+    The XLA formulation (``_radix_pass``) materialises the (n, d)
+    one-hot and scan tensors in HBM (~200 MB/pass at 1M); here they
+    live only in VMEM — HBM traffic per pass drops to the key read,
+    two n-sized index writes, and the scatters.
+    """
+    n = keys.shape[0]
+    d = 1 << bits
+    nb = n // LANES
+    ki = keys.astype(jnp.int32)  # Morton keys < 2^30: int32-safe
+    local, hist = pl.pallas_call(
+        functools.partial(_rank_hist_kernel, shift=shift, d=d, groups=groups),
+        grid=(nb // groups,),
+        in_specs=[pl.BlockSpec((groups, LANES), lambda g: (g, 0))],
+        out_specs=[
+            pl.BlockSpec((groups, LANES), lambda g: (g, 0)),
+            pl.BlockSpec((LANES, groups), lambda g: (0, g)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((LANES, nb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ki.reshape(nb, LANES))
+    # global exclusive scan over the digit-major (d, nb) table: counts
+    # are integers <= n < 2^24, exact in f32
+    flat = hist[:d].reshape(-1)
+    ex = (jnp.cumsum(flat) - flat).reshape(d, nb)
+    dg = (jax.lax.shift_right_logical(ki, shift) & (d - 1)).reshape(nb, LANES)
+    base = jnp.take_along_axis(ex.T, dg, axis=1).astype(jnp.int32)
+    dest = (base + local - 1).reshape(-1)
+    out_k = jnp.zeros_like(keys).at[dest].set(
+        keys, unique_indices=True, mode="promise_in_bounds"
+    )
+    out_v = jnp.zeros_like(vals).at[dest].set(
+        vals, unique_indices=True, mode="promise_in_bounds"
+    )
+    return out_k, out_v
 
 
 def _radix_pass(keys, vals, shift, *, bits, block):
@@ -78,7 +169,8 @@ def _radix_pass(keys, vals, shift, *, bits, block):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_bits", "bits_per_pass", "block")
+    jax.jit,
+    static_argnames=("num_bits", "bits_per_pass", "block", "fused", "interpret"),
 )
 def radix_sort_key_val(
     keys: jnp.ndarray,
@@ -87,22 +179,30 @@ def radix_sort_key_val(
     num_bits: int = MORTON_BITS,
     bits_per_pass: int = 5,
     block: int = 128,
+    fused: bool = False,
+    interpret: bool | None = None,
 ):
     """Stable radix sort of ``(keys, vals)`` by ``keys``.
 
     Bit-identical to ``jax.lax.sort_key_val`` for keys that fit in
     ``num_bits`` unsigned bits. ``block`` is the MXU scan tile (local
     ranks stay <= block; must keep block <= 256 for exact bf16 0/1
-    accumulation headroom and lane alignment).
+    accumulation headroom and lane alignment). ``fused=True`` runs the
+    rank/histogram stage as a Pallas kernel (block fixed at 128,
+    bits_per_pass <= 7) instead of materialised XLA one-hots.
     """
     if keys.ndim != 1 or vals.shape != keys.shape:
         raise ValueError("radix_sort_key_val expects matching 1D arrays")
     if block > 256 or block % 128:
         raise ValueError("block must be 128 or 256")
+    if fused and bits_per_pass > 7:
+        raise ValueError("fused path needs digits <= 128 (bits_per_pass <= 7)")
+    if interpret is None:
+        interpret = _interpret_default()
     n = keys.shape[0]
     kind = keys.dtype
     keys = keys.astype(jnp.uint32)
-    pad = (-n) % block
+    pad = (-n) % (LANES * FUSED_GROUPS if fused else block)
     if pad:
         # max in-range key, appended AFTER the real elements: stable
         # passes keep pads behind every real tie, so [:n] is exact
@@ -112,7 +212,13 @@ def radix_sort_key_val(
         vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
     for shift in range(0, num_bits, bits_per_pass):
         bits = min(bits_per_pass, num_bits - shift)
-        keys, vals = _radix_pass(
-            keys, vals, shift, bits=bits, block=block
-        )
+        if fused:
+            keys, vals = _radix_pass_fused(
+                keys, vals, shift, bits=bits, groups=FUSED_GROUPS,
+                interpret=interpret,
+            )
+        else:
+            keys, vals = _radix_pass(
+                keys, vals, shift, bits=bits, block=block
+            )
     return keys[:n].astype(kind), vals[:n]

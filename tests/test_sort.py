@@ -76,9 +76,10 @@ def test_block_256(rng):
     np.testing.assert_array_equal(np.asarray(v), rv)
 
 
-def test_sort_by_cell_radix_backend(rng, monkeypatch):
-    """grid.sort_by_cell honours LIBCLSPH_TPU_SORT=radix and the two
-    backends agree on a real particle state."""
+@pytest.mark.parametrize("impl", ["radix", "radix-fused"])
+def test_sort_by_cell_radix_backend(rng, monkeypatch, impl):
+    """grid.sort_by_cell honours LIBCLSPH_TPU_SORT={radix,radix-fused}
+    and the backends agree with XLA on a real particle state."""
     from libclsph_tpu.core.state import init_state
     from libclsph_tpu.ops import grid as grid_ops
     from tests.conftest import make_params
@@ -88,10 +89,42 @@ def test_sort_by_cell_radix_backend(rng, monkeypatch):
     ginfo = grid_ops.compute_bounds(state.position, params)
     codes = grid_ops.locate_in_grid(state.position, ginfo)
     s_xla, c_xla, o_xla = grid_ops.sort_by_cell(state, codes)
-    monkeypatch.setattr(grid_ops, "_SORT_IMPL", "radix")
+    monkeypatch.setattr(grid_ops, "_SORT_IMPL", impl)
     s_rx, c_rx, o_rx = grid_ops.sort_by_cell(state, codes)
     np.testing.assert_array_equal(np.asarray(c_xla), np.asarray(c_rx))
     np.testing.assert_array_equal(np.asarray(o_xla), np.asarray(o_rx))
     np.testing.assert_array_equal(
         np.asarray(s_xla.position), np.asarray(s_rx.position)
     )
+
+
+@pytest.mark.parametrize("n", [300, 1024, 4096, 65536])
+@pytest.mark.parametrize("bits_per_pass", [5, 6])
+def test_fused_matches_lax_sort(rng, n, bits_per_pass):
+    """The Pallas fused rank/hist pass (interpret mode on CPU) is
+    bit-identical to lax.sort_key_val, stability included."""
+    keys = jnp.asarray(rng.integers(0, 1 << 30, size=n, dtype=np.uint32))
+    vals = jnp.asarray(rng.permutation(n).astype(np.int32))
+    k, v = radix_sort_key_val(
+        keys, vals, bits_per_pass=bits_per_pass, fused=True
+    )
+    rk, rv = _ref(keys, vals)
+    np.testing.assert_array_equal(np.asarray(k), rk)
+    np.testing.assert_array_equal(np.asarray(v), rv)
+
+
+def test_fused_heavy_duplicates(rng):
+    n = 8192
+    keys = jnp.asarray(rng.integers(0, 64, size=n, dtype=np.uint32))
+    vals = jnp.asarray(rng.permutation(n).astype(np.int32))
+    k, v = radix_sort_key_val(keys, vals, fused=True)
+    rk, rv = _ref(keys, vals)
+    np.testing.assert_array_equal(np.asarray(k), rk)
+    np.testing.assert_array_equal(np.asarray(v), rv)
+
+
+def test_fused_rejects_wide_digits():
+    keys = jnp.zeros((128,), jnp.uint32)
+    vals = jnp.zeros((128,), jnp.int32)
+    with pytest.raises(ValueError):
+        radix_sort_key_val(keys, vals, bits_per_pass=8, fused=True)
