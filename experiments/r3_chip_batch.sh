@@ -82,6 +82,10 @@ print(rec["tag"], "OK" if "error" not in rec else "FAILED")
 ' >&2
 }
 
+# -- sort backend in situ (only meaningful if radix_probe wins) ------
+run 1m-sort-radix  1200 env LIBCLSPH_TPU_SORT=radix $B
+run 1m-sort-fused  1200 env LIBCLSPH_TPU_SORT=radix-fused $B
+
 # -- current stage breakdown at 1M (pick the next lever from data) ---
 runtxt nl-profile-1m 2400 python experiments/nl_profile.py
 

@@ -228,3 +228,21 @@ def test_mosaic_hierarchical_regime_matches_tiles():
     a1 = np.asarray(st.acceleration)
     a2 = np.asarray(sp.acceleration)
     np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+
+
+def test_mosaic_fused_radix_sort_matches_lax():
+    """Mosaic-compile the fused rank/hist radix kernel at bench-like
+    key volume and assert bit-equality with lax.sort_key_val."""
+    from libclsph_tpu.ops.radix_sort import radix_sort_key_val
+
+    n = 262144
+    rng = np.random.default_rng(7)
+    keys = jnp.asarray(rng.integers(0, 1 << 30, n, dtype=np.uint32))
+    vals = jnp.asarray(rng.permutation(n).astype(np.int32))
+    for bpp in (5, 6):
+        k, v = radix_sort_key_val(
+            keys, vals, bits_per_pass=bpp, fused=True, interpret=False
+        )
+        rk, rv = jax.lax.sort_key_val(keys, vals)
+        np.testing.assert_array_equal(np.asarray(k), np.asarray(rk))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
