@@ -75,6 +75,18 @@ def main():
                 "fused_b6",
                 lambda k, v: radix_sort_key_val(k, v, bits_per_pass=6, fused=True),
             ),
+            (
+                "fused_b5_gather",
+                lambda k, v: radix_sort_key_val(
+                    k, v, bits_per_pass=5, fused=True, apply="gather"
+                ),
+            ),
+            (
+                "radix_b5_gather",
+                lambda k, v: radix_sort_key_val(
+                    k, v, bits_per_pass=5, apply="gather"
+                ),
+            ),
         ]:
             try:
                 ms = timeit(chain(fn), keys, vals)

@@ -41,6 +41,9 @@ _SORT_IMPL = os.environ.get("LIBCLSPH_TPU_SORT", "xla")
 # dynamic grid — bench/expert knob, like the reference's fixed 4-pass
 # x 8-bit pipeline assuming 32-bit keys (sort.cl:1-200).
 _SORT_BITS = int(os.environ.get("LIBCLSPH_TPU_SORT_BITS", "30"))
+# radix only: per-pass data movement, "scatter" | "gather" (see
+# radix_sort._apply_dest) — pick per chip.
+_SORT_APPLY = os.environ.get("LIBCLSPH_TPU_SORT_APPLY", "scatter")
 
 
 class GridInfo(NamedTuple):
@@ -88,7 +91,7 @@ def sort_by_cell(state: ParticleState, codes: jnp.ndarray):
     if _SORT_IMPL in ("radix", "radix-fused"):
         sorted_codes, order = radix_sort.radix_sort_key_val(
             codes, iota, num_bits=_SORT_BITS,
-            fused=(_SORT_IMPL == "radix-fused"),
+            fused=(_SORT_IMPL == "radix-fused"), apply=_SORT_APPLY,
         )
     else:
         sorted_codes, order = jax.lax.sort_key_val(codes, iota)

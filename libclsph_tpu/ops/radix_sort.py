@@ -57,6 +57,32 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _apply_dest(keys, vals, dest, mode):
+    """Move (keys, vals) to their destination slots.
+
+    ``scatter``: two n-sized scatters (the reference's scatter kernel
+    shape, sort.cl:150-200). ``gather``: ONE iota scatter builds the
+    inverse permutation, then keys/vals move via gathers — TPU gathers
+    vectorise where XLA scatters may serialize, so this trades 2n
+    scattered elements for n scattered + 2n gathered. Equal results;
+    pick per chip (experiments/radix_probe.py).
+    """
+    if mode == "gather":
+        inv = jnp.zeros_like(dest).at[dest].set(
+            jnp.arange(dest.shape[0], dtype=dest.dtype),
+            unique_indices=True,
+            mode="promise_in_bounds",
+        )
+        return keys[inv], vals[inv]
+    out_k = jnp.zeros_like(keys).at[dest].set(
+        keys, unique_indices=True, mode="promise_in_bounds"
+    )
+    out_v = jnp.zeros_like(vals).at[dest].set(
+        vals, unique_indices=True, mode="promise_in_bounds"
+    )
+    return out_k, out_v
+
+
 def _rank_hist_kernel(keys_ref, local_ref, hist_ref, *, shift, d, groups):
     """Per-128-lane-block digit ranks + histograms, one tile per step.
 
@@ -91,7 +117,7 @@ def _rank_hist_kernel(keys_ref, local_ref, hist_ref, *, shift, d, groups):
         hist_ref[:, r : r + 1] = jnp.sum(ef, axis=1, keepdims=True)
 
 
-def _radix_pass_fused(keys, vals, shift, *, bits, groups, interpret):
+def _radix_pass_fused(keys, vals, shift, *, bits, groups, interpret, apply):
     """One stable pass with the rank/histogram stage as a Pallas kernel.
 
     The XLA formulation (``_radix_pass``) materialises the (n, d)
@@ -124,16 +150,10 @@ def _radix_pass_fused(keys, vals, shift, *, bits, groups, interpret):
     dg = (jax.lax.shift_right_logical(ki, shift) & (d - 1)).reshape(nb, LANES)
     base = jnp.take_along_axis(ex.T, dg, axis=1).astype(jnp.int32)
     dest = (base + local - 1).reshape(-1)
-    out_k = jnp.zeros_like(keys).at[dest].set(
-        keys, unique_indices=True, mode="promise_in_bounds"
-    )
-    out_v = jnp.zeros_like(vals).at[dest].set(
-        vals, unique_indices=True, mode="promise_in_bounds"
-    )
-    return out_k, out_v
+    return _apply_dest(keys, vals, dest, apply)
 
 
-def _radix_pass(keys, vals, shift, *, bits, block):
+def _radix_pass(keys, vals, shift, *, bits, block, apply):
     """One stable counting-sort pass on digit ``(keys >> shift) & mask``."""
     n = keys.shape[0]
     nb = n // block
@@ -159,18 +179,14 @@ def _radix_pass(keys, vals, shift, *, bits, block):
     ex = (jnp.cumsum(flat) - flat).reshape(d, nb).T  # (nb, d)
     base = jnp.sum(ex[:, None, :] * onef, axis=-1)  # (nb, block)
     dest = (base + local - 1.0).astype(jnp.int32).reshape(-1)
-    out_k = jnp.zeros_like(keys).at[dest].set(
-        keys, unique_indices=True, mode="promise_in_bounds"
-    )
-    out_v = jnp.zeros_like(vals).at[dest].set(
-        vals, unique_indices=True, mode="promise_in_bounds"
-    )
-    return out_k, out_v
+    return _apply_dest(keys, vals, dest, apply)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_bits", "bits_per_pass", "block", "fused", "interpret"),
+    static_argnames=(
+        "num_bits", "bits_per_pass", "block", "fused", "interpret", "apply",
+    ),
 )
 def radix_sort_key_val(
     keys: jnp.ndarray,
@@ -181,6 +197,7 @@ def radix_sort_key_val(
     block: int = 128,
     fused: bool = False,
     interpret: bool | None = None,
+    apply: str = "scatter",
 ):
     """Stable radix sort of ``(keys, vals)`` by ``keys``.
 
@@ -190,11 +207,15 @@ def radix_sort_key_val(
     accumulation headroom and lane alignment). ``fused=True`` runs the
     rank/histogram stage as a Pallas kernel (block fixed at 128,
     bits_per_pass <= 7) instead of materialised XLA one-hots.
+    ``apply`` picks how each pass moves data: "scatter" (2 scatters)
+    or "gather" (1 inverse-permutation scatter + 2 gathers).
     """
     if keys.ndim != 1 or vals.shape != keys.shape:
         raise ValueError("radix_sort_key_val expects matching 1D arrays")
     if block > 256 or block % 128:
         raise ValueError("block must be 128 or 256")
+    if apply not in ("scatter", "gather"):
+        raise ValueError("apply must be 'scatter' or 'gather'")
     if fused and bits_per_pass > 7:
         raise ValueError("fused path needs digits <= 128 (bits_per_pass <= 7)")
     if interpret is None:
@@ -215,10 +236,10 @@ def radix_sort_key_val(
         if fused:
             keys, vals = _radix_pass_fused(
                 keys, vals, shift, bits=bits, groups=FUSED_GROUPS,
-                interpret=interpret,
+                interpret=interpret, apply=apply,
             )
         else:
             keys, vals = _radix_pass(
-                keys, vals, shift, bits=bits, block=block
+                keys, vals, shift, bits=bits, block=block, apply=apply
             )
     return keys[:n].astype(kind), vals[:n]

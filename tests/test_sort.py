@@ -128,3 +128,16 @@ def test_fused_rejects_wide_digits():
     vals = jnp.zeros((128,), jnp.int32)
     with pytest.raises(ValueError):
         radix_sort_key_val(keys, vals, bits_per_pass=8, fused=True)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_gather_apply_matches_scatter(rng, fused):
+    """The inverse-permutation gather apply is a pure data-movement
+    swap: results stay bit-identical to the scatter apply."""
+    n = 4096
+    keys = jnp.asarray(rng.integers(0, 1 << 30, size=n, dtype=np.uint32))
+    vals = jnp.asarray(rng.permutation(n).astype(np.int32))
+    k, v = radix_sort_key_val(keys, vals, fused=fused, apply="gather")
+    rk, rv = _ref(keys, vals)
+    np.testing.assert_array_equal(np.asarray(k), rk)
+    np.testing.assert_array_equal(np.asarray(v), rv)
