@@ -235,9 +235,11 @@ class SPHSimulation:
         f = int(flags)
         if f & FLAG_GRID_DIM:
             raise RuntimeError(
-                "simulation exploded: a grid axis reached the 1024-cell "
-                "Morton limit (reference aborts here too, "
-                "sph_simulation.cpp:722-724); check dt / fluid stiffness"
+                "simulation grid too large: a grid axis reached the "
+                "1024-cell Morton limit (reference aborts here too, "
+                "sph_simulation.cpp:722-724) or outgrew a reduced "
+                "LIBCLSPH_TPU_SORT_BITS key width; check dt / fluid "
+                "stiffness, or raise the sort bits"
             )
         if f & FLAG_EXCHANGE:
             raise RuntimeError(

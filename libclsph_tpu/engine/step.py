@@ -793,8 +793,11 @@ def substep(
     # ---- grid bounds + cell assignment (on-device findMinMaxPosition)
     grid = grid_ops.compute_bounds(state.position, params)
     codes = grid_ops.locate_in_grid(state.position, grid)
-    # 10-bit Morton limit guard (sph_simulation.cpp:722-724)
-    grid_bad = jnp.any(grid.grid_size >= morton.MAX_GRID_DIM)
+    # 10-bit Morton limit guard (sph_simulation.cpp:722-724); also
+    # flags a grid that outgrew a reduced radix key width
+    grid_bad = jnp.any(grid.grid_size >= morton.MAX_GRID_DIM) | (
+        grid_ops.grid_exceeds_sort_bits(grid.grid_size)
+    )
 
     if config.neighbor_impl in ("tiles", "pallas"):
         # pad to a whole number of blocks; sentinels sort last

@@ -37,9 +37,10 @@ from . import radix_sort
 _SORT_IMPL = os.environ.get("LIBCLSPH_TPU_SORT", "xla")
 # radix only: Morton bits to sort. 30 is always safe (the 1024-cell
 # grid guard); a run whose grid never exceeds 2^(b/3) cells per axis
-# can drop to b bits and skip whole passes. UNCHECKED against the
-# dynamic grid — bench/expert knob, like the reference's fixed 4-pass
-# x 8-bit pipeline assuming 32-bit keys (sort.cl:1-200).
+# can drop to b bits and skip whole passes. Checked against the
+# dynamic grid on device: grid_exceeds_sort_bits feeds FLAG_GRID_DIM
+# so an outgrown grid aborts like the reference's 1024-cell assert
+# (sph_simulation.cpp:722-724) instead of silently missorting.
 _SORT_BITS = int(os.environ.get("LIBCLSPH_TPU_SORT_BITS", "30"))
 # radix only: per-pass data movement, "scatter" | "gather" (see
 # radix_sort._apply_dest) — pick per chip.
@@ -77,6 +78,17 @@ def locate_in_grid(position: jnp.ndarray, grid: GridInfo) -> jnp.ndarray:
     """Per-particle Morton cell code (locate_in_grid, grid.cl:40-64)."""
     coords = ((position - grid.min_point) / grid.cell_side).astype(jnp.uint32)
     return morton.encode(coords[:, 0], coords[:, 1], coords[:, 2])
+
+
+def grid_exceeds_sort_bits(grid_size: jnp.ndarray) -> jnp.ndarray:
+    """True when the dynamic grid outgrows the configured radix key
+    width: with ``b`` sorted bits, codes are only ordered below 2^b,
+    which requires every axis to stay <= 2^(b//3) cells. Constant
+    False for the default 30 bits or the XLA sort backend, so it folds
+    away under jit."""
+    if _SORT_IMPL not in ("radix", "radix-fused") or _SORT_BITS >= 30:
+        return jnp.asarray(False)
+    return jnp.any(grid_size > (1 << (_SORT_BITS // 3)))
 
 
 def sort_by_cell(state: ParticleState, codes: jnp.ndarray):

@@ -405,8 +405,11 @@ def _local_substep(
         grid_size=((gmax - gmin) / cell).astype(jnp.int32),
         cell_side=cell,
     )
-    # 10-bit Morton limit guard (sph_simulation.cpp:722-724)
-    grid_bad = jnp.any(grid.grid_size >= morton.MAX_GRID_DIM)
+    # 10-bit Morton limit guard (sph_simulation.cpp:722-724); also
+    # flags a grid that outgrew a reduced radix key width
+    grid_bad = jnp.any(grid.grid_size >= morton.MAX_GRID_DIM) | (
+        grid_ops.grid_exceeds_sort_bits(grid.grid_size)
+    )
 
     # ---- 2. local Morton sort
     codes = grid_ops.locate_in_grid(state.position, grid)

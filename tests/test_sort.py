@@ -141,3 +141,19 @@ def test_gather_apply_matches_scatter(rng, fused):
     rk, rv = _ref(keys, vals)
     np.testing.assert_array_equal(np.asarray(k), rk)
     np.testing.assert_array_equal(np.asarray(v), rv)
+
+
+def test_reduced_sort_bits_guard(monkeypatch):
+    """A grid outgrowing a reduced LIBCLSPH_TPU_SORT_BITS key width
+    must raise the FLAG_GRID_DIM status instead of missorting."""
+    from libclsph_tpu.ops import grid as grid_ops
+
+    size = jnp.asarray([9, 4, 4], jnp.int32)  # needs 4 bits on axis 0
+    # default config: constant False (folds away under jit)
+    assert not bool(grid_ops.grid_exceeds_sort_bits(size))
+    monkeypatch.setattr(grid_ops, "_SORT_IMPL", "radix")
+    monkeypatch.setattr(grid_ops, "_SORT_BITS", 9)  # 8 cells/axis max
+    assert bool(grid_ops.grid_exceeds_sort_bits(size))
+    assert not bool(
+        grid_ops.grid_exceeds_sort_bits(jnp.asarray([8, 8, 8], jnp.int32))
+    )
