@@ -621,3 +621,43 @@ class TestShardedEngine:
         assert pre_calls and not all(pre_calls)
         assert all(s.shape == (512, 3) for s in saved)
         assert np.isfinite(saved[-1]).all()
+
+
+class TestShardedRadixSort:
+    @pytest.mark.parametrize("impl", ["radix", "radix-fused"])
+    def test_sharded_step_radix_backend_bitexact(self, impl, monkeypatch):
+        """The radix backends are stable drop-ins for lax.sort inside
+        the shard_mapped step too: per-shard results are bit-identical
+        to the XLA-sort sharded step."""
+        from libclsph_tpu.ops import grid as grid_ops
+
+        params = make_params(WATER, n=1024)
+        cfg = StepConfig(
+            neighbor_impl="tiles", block_size=64, max_candidates=32,
+            adaptive_dt=False,
+        )
+        state0 = init_state(params)
+        dt = jnp.float32(params.max_dt)
+        mesh = make_mesh(jax.devices()[:8])
+        sp = shard_state(pad_for_mesh(state0, params, mesh, cfg), mesh)
+
+        s_xla, dt_xla, _ = make_sharded_substep(mesh, params, None, cfg)(sp, dt)
+        monkeypatch.setattr(grid_ops, "_SORT_IMPL", impl)
+        calls = []
+        real_sort = grid_ops.radix_sort.radix_sort_key_val
+
+        def spy(*a, **kw):
+            calls.append(kw)
+            return real_sort(*a, **kw)
+
+        monkeypatch.setattr(grid_ops.radix_sort, "radix_sort_key_val", spy)
+        s_rx, dt_rx, _ = make_sharded_substep(mesh, params, None, cfg)(sp, dt)
+        assert calls and calls[0]["fused"] == (impl == "radix-fused")
+
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.position), np.asarray(s_rx.position)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_xla.density), np.asarray(s_rx.density)
+        )
+        assert float(dt_xla) == float(dt_rx)
