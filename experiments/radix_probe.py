@@ -76,6 +76,19 @@ def main():
                 lambda k, v: radix_sort_key_val(k, v, bits_per_pass=6, fused=True),
             ),
             (
+                "fused_b5_g32",
+                lambda k, v: radix_sort_key_val(
+                    k, v, bits_per_pass=5, fused=True, groups=32
+                ),
+            ),
+            (
+                "fused_b6_g32_gather",
+                lambda k, v: radix_sort_key_val(
+                    k, v, bits_per_pass=6, fused=True, groups=32,
+                    apply="gather",
+                ),
+            ),
+            (
                 "fused_b5_gather",
                 lambda k, v: radix_sort_key_val(
                     k, v, bits_per_pass=5, fused=True, apply="gather"

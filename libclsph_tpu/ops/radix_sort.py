@@ -47,7 +47,8 @@ from jax.experimental.pallas import tpu as pltpu
 # reference's 1024-cells-per-axis guard, sph_simulation.cpp:700-728).
 MORTON_BITS = 30
 LANES = 128
-# query groups of 128 keys per Pallas grid step (fused impl)
+# 128-key blocks per Pallas grid step (fused impl): more rows per tile
+# amortise per-step DMA latency at the cost of a longer unrolled loop
 FUSED_GROUPS = 8
 
 
@@ -186,6 +187,7 @@ def _radix_pass(keys, vals, shift, *, bits, block, apply):
     jax.jit,
     static_argnames=(
         "num_bits", "bits_per_pass", "block", "fused", "interpret", "apply",
+        "groups",
     ),
 )
 def radix_sort_key_val(
@@ -198,6 +200,7 @@ def radix_sort_key_val(
     fused: bool = False,
     interpret: bool | None = None,
     apply: str = "scatter",
+    groups: int = FUSED_GROUPS,
 ):
     """Stable radix sort of ``(keys, vals)`` by ``keys``.
 
@@ -218,12 +221,14 @@ def radix_sort_key_val(
         raise ValueError("apply must be 'scatter' or 'gather'")
     if fused and bits_per_pass > 7:
         raise ValueError("fused path needs digits <= 128 (bits_per_pass <= 7)")
+    if fused and (groups < 1 or groups > 256):
+        raise ValueError("groups must be in [1, 256]")
     if interpret is None:
         interpret = _interpret_default()
     n = keys.shape[0]
     kind = keys.dtype
     keys = keys.astype(jnp.uint32)
-    pad = (-n) % (LANES * FUSED_GROUPS if fused else block)
+    pad = (-n) % (LANES * groups if fused else block)
     if pad:
         # max in-range key, appended AFTER the real elements: stable
         # passes keep pads behind every real tie, so [:n] is exact
@@ -235,7 +240,7 @@ def radix_sort_key_val(
         bits = min(bits_per_pass, num_bits - shift)
         if fused:
             keys, vals = _radix_pass_fused(
-                keys, vals, shift, bits=bits, groups=FUSED_GROUPS,
+                keys, vals, shift, bits=bits, groups=groups,
                 interpret=interpret, apply=apply,
             )
         else:

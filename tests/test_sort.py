@@ -157,3 +157,15 @@ def test_reduced_sort_bits_guard(monkeypatch):
     assert not bool(
         grid_ops.grid_exceeds_sort_bits(jnp.asarray([8, 8, 8], jnp.int32))
     )
+
+
+def test_fused_wide_groups(rng):
+    """groups controls rows per Pallas grid step only — results are
+    unchanged, including at a non-divisible n that needs padding."""
+    n = 5000  # not a multiple of 32 * 128
+    keys = jnp.asarray(rng.integers(0, 1 << 30, size=n, dtype=np.uint32))
+    vals = jnp.asarray(rng.permutation(n).astype(np.int32))
+    k, v = radix_sort_key_val(keys, vals, fused=True, groups=32)
+    rk, rv = _ref(keys, vals)
+    np.testing.assert_array_equal(np.asarray(k), rk)
+    np.testing.assert_array_equal(np.asarray(v), rv)
