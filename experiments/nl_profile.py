@@ -147,6 +147,10 @@ def timeit(name, fn, *args, reps=6):
     print(f"{name:28s} {(t2 - t1) / reps * 1000:8.2f} ms")
 
 
+timeit("bounds+locate+sort (prep)", prep, state)
+timeit("make_blocked", jax.jit(lambda s, r: tiles_ops.make_blocked(
+    s.position, s.velocity, s.density, s.pressure, r, cfg.block_size)),
+    state_s, real)
 timeit("candidate_blocks (96)", stage_cand, bmin, bmax)
 timeit("refine_candidates", stage_refine, blocked, cand, count, bmin, bmax)
 timeit("fused_density_nl e2e", stage_density, q_pos, c_pos_pack, cand_sub, count_sub, real)

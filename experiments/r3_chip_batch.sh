@@ -86,6 +86,10 @@ print(rec["tag"], "OK" if "error" not in rec else "FAILED")
 run 1m-sort-radix  1200 env LIBCLSPH_TPU_SORT=radix $B
 run 1m-sort-fused  1200 env LIBCLSPH_TPU_SORT=radix-fused $B
 
+# -- collisions delta at the c16 config (control minus free-space) ---
+run 1m-c16-freespace 1200 $B --scene none --force-query-rows 32 \
+    --force-sub16 --density-sub16 --max-candidates-sub 192
+
 # -- current stage breakdown at 1M (pick the next lever from data) ---
 runtxt nl-profile-1m 2400 python experiments/nl_profile.py
 
