@@ -74,6 +74,8 @@ def main():
                     "--max-candidates-sub in 16-wide units, ~1.5x)")
     ap.add_argument("--tier2-frac", type=int, default=0)
     ap.add_argument("--tier2-mult", type=int, default=2)
+    ap.add_argument("--sort-interval", type=int, default=1,
+                    help="re-sort every k-th substep (1 = every substep)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -103,6 +105,7 @@ def main():
         density_sub16=args.density_sub16,
         tier2_frac=args.tier2_frac,
         tier2_mult=args.tier2_mult,
+        sort_interval=args.sort_interval,
     )
 
     scene_dev = None
@@ -131,8 +134,11 @@ def main():
     for _ in range(6):
         s_try, d_try = state, dt
         overflow = jnp.int32(0)
-        for _ in range(args.warmup):
-            s_try, d_try, flags = substep_jit(s_try, d_try, params, scene_dev, cfg)
+        for i in range(args.warmup):
+            s_try, d_try, flags = substep_jit(
+                s_try, d_try, params, scene_dev, cfg,
+                do_sort=(i % args.sort_interval == 0),
+            )
             overflow = overflow | flags  # OR across substeps: a NaN'd
             # state stops overflowing, masking an early truncation
         jax.block_until_ready(s_try.position)
@@ -170,8 +176,11 @@ def main():
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, dt, _ovf = substep_jit(state, dt, params, scene_dev, cfg)
+    for i in range(args.steps):
+        state, dt, _ovf = substep_jit(
+            state, dt, params, scene_dev, cfg,
+            do_sort=(i % args.sort_interval == 0),
+        )
     jax.block_until_ready(state.position)
     elapsed = time.perf_counter() - t0
 

@@ -86,6 +86,10 @@ print(rec["tag"], "OK" if "error" not in rec else "FAILED")
 run 1m-sort-radix  1200 env LIBCLSPH_TPU_SORT=radix $B
 run 1m-sort-fused  1200 env LIBCLSPH_TPU_SORT=radix-fused $B
 
+# -- sort skipping at the c16 config (k=4: sort 1 in 4 substeps) -----
+run 1m-c16-sortk4  1200 $B --force-query-rows 32 --force-sub16 \
+    --density-sub16 --max-candidates-sub 192 --sort-interval 4
+
 # -- collisions delta at the c16 config (control minus free-space) ---
 run 1m-c16-freespace 1200 $B --scene none --force-query-rows 32 \
     --force-sub16 --density-sub16 --max-candidates-sub 192

@@ -286,6 +286,12 @@ class SPHSimulation:
             pad_for_mesh,
         )
 
+        if self.step_config.sort_interval != 1:
+            raise ValueError(
+                "sort_interval > 1 is single-chip only: the sharded step "
+                "relies on per-substep Morton order for shard ownership "
+                "and halo exchange"
+            )
         p = self.parameters
         t_start = _time.perf_counter()
         self.device_scene = collisions_ops.build_device_scene(self.current_scene)

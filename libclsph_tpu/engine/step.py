@@ -138,6 +138,17 @@ class StepConfig:
     # latency-bound at contraction depth 5 and HIGHEST precision costs
     # 6 passes; +~60 ms/substep at 1M); kept as a documented variant.
     pair_r2: str = "vpu"
+    # Re-sort particles every k-th substep instead of every substep
+    # (frame_jit fast path + bench; 1 = reference behaviour). Safe for
+    # tiles/pallas: candidates are geometric (block boxes from CURRENT
+    # positions, recomputed every substep) and every kernel term
+    # carries the hard r<h cutoff, so a stale ORDER only costs pruning
+    # efficiency — particles drift ~1e-3 cell/substep, so locality is
+    # intact for small k and capacity flags catch the pathological
+    # case. Skipped substeps save the key sort + full-state permute.
+    # Not supported for the 'exact' impl (needs sorted codes) or the
+    # sharded engine (Morton order is load-bearing for shard ownership).
+    sort_interval: int = 1
     adaptive_dt: bool = True
     # frame_jit dispatch bound: a stiff impact can floor the adaptive
     # dt at DT_MIN (1e-5 s), blowing a frame up to ~1.7k substeps — an
@@ -769,8 +780,14 @@ def substep(
     params: SimulationParameters,
     scene: Optional[collisions_ops.DeviceScene],
     config: StepConfig,
+    do_sort=True,
 ):
     """One SPH substep. Returns (new_state, dt_next, flags).
+
+    ``do_sort``: True (default) re-sorts by Morton code; False (static)
+    or a traced bool scalar (frame_jit with config.sort_interval > 1)
+    skips/gates the sort, reusing the previous substep's order — see
+    StepConfig.sort_interval for why that is physics-exact.
 
     ``flags`` (device int32 scalar) is a bitfield:
     * FLAG_CAPACITY — the static neighbour capacity (tile candidate cap
@@ -819,7 +836,24 @@ def substep(
             )
 
     # ---- sort by Morton code (replaces the radix-sort pipeline)
-    state, sorted_codes, _ = grid_ops.sort_by_cell(state, codes)
+    if do_sort is True:
+        state, sorted_codes, _ = grid_ops.sort_by_cell(state, codes)
+    else:
+        if config.neighbor_impl == "exact":
+            raise ValueError(
+                "sort skipping needs geometric candidates; the 'exact' "
+                "impl requires sorted codes every substep"
+            )
+        sorted_codes = None
+        if do_sort is False:  # statically skipped (bench rows)
+            state = state.replace(grid_index=codes)
+        else:  # traced scalar: gate the sort on device
+            state = jax.lax.cond(
+                do_sort,
+                lambda s_c: grid_ops.sort_by_cell(s_c[0], s_c[1])[0],
+                lambda s_c: s_c[0].replace(grid_index=s_c[1]),
+                (state, codes),
+            )
 
     # ---- density + pressure, forces
     if config.neighbor_impl in ("tiles", "pallas"):
@@ -872,9 +906,9 @@ def substep(
 
 # NOTE: no donate_argnums here — the engine's capacity-overflow retry
 # re-runs a frame from the same input state, which donation would free.
-@partial(jax.jit, static_argnames=("params", "config"))
-def substep_jit(state, dt, params, scene, config):
-    return substep(state, dt, params, scene, config)
+@partial(jax.jit, static_argnames=("params", "config", "do_sort"))
+def substep_jit(state, dt, params, scene, config, do_sort=True):
+    return substep(state, dt, params, scene, config, do_sort=do_sort)
 
 
 @partial(jax.jit, static_argnames=("params", "config"))
@@ -894,9 +928,15 @@ def frame_jit(state, dt, timeleft, params, scene, config):
         _, _, timeleft, _, n = carry
         return (timeleft > 0.0) & (n < cap)
 
+    interval = int(config.sort_interval)
+
     def body(carry):
         st, dt_cur, timeleft, flags, n = carry
-        st, dt_next, step_flags = substep(st, dt_cur, params, scene, config)
+        # re-sort on the dispatch's first substep, then every k-th
+        do_sort = True if interval <= 1 else (n % interval == 0)
+        st, dt_next, step_flags = substep(
+            st, dt_cur, params, scene, config, do_sort=do_sort
+        )
         timeleft = timeleft - dt_next
         dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)
         return st, dt_next, timeleft, flags | step_flags, n + 1

@@ -251,3 +251,80 @@ class TestCapacityAutotune:
         sim.capacity_retries = MAX_CAPACITY_RETRIES + 1
         with pytest.raises(RuntimeError):
             sim._grow_capacity(FLAGS_ALL_CAPACITY)
+
+
+class TestSortInterval:
+    """sort_interval > 1: skipped substeps reuse the previous Morton
+    order; candidates are geometric so physics must be unchanged (up
+    to f32 summation order)."""
+
+    def _setup(self, n=512):
+        import jax.numpy as jnp
+        from tests.conftest import make_params
+        from libclsph_tpu.core.state import init_state
+
+        params = make_params(n=n)
+        return params, init_state(params), jnp.float32(params.max_dt)
+
+    @staticmethod
+    def _by_pos(state):
+        p = np.round(np.asarray(state.position, np.float64), 6)
+        return np.lexsort(p.T)
+
+    def test_frame_jit_matches_every_substep_sort(self):
+        import jax.numpy as jnp
+        from libclsph_tpu.engine.step import frame_jit
+
+        params, state, dt = self._setup()
+        timeleft = jnp.float32(4.5 * float(params.max_dt))
+        base = StepConfig(neighbor_impl="tiles", block_size=64,
+                          max_candidates=48)
+        skip = StepConfig(neighbor_impl="tiles", block_size=64,
+                          max_candidates=48, sort_interval=3)
+        s1, _, tl1, f1 = frame_jit(state, dt, timeleft, params, None, base)
+        s2, _, tl2, f2 = frame_jit(state, dt, timeleft, params, None, skip)
+        assert int(f1) == 0 and int(f2) == 0
+        assert float(tl1) == pytest.approx(float(tl2), abs=1e-7)
+        o1, o2 = self._by_pos(s1), self._by_pos(s2)
+        np.testing.assert_allclose(
+            np.asarray(s1.position)[o1], np.asarray(s2.position)[o2],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1.density)[o1], np.asarray(s2.density)[o2],
+            rtol=1e-5,
+        )
+
+    def test_static_skip_matches_sorted(self):
+        """One substep from an already-sorted state: do_sort=False must
+        give the same physics as do_sort=True. Results differ only by
+        the re-sort's permutation and f32 summation order."""
+        from libclsph_tpu.engine.step import substep_jit
+
+        params, state, dt = self._setup()
+        cfg = StepConfig(neighbor_impl="tiles", block_size=64,
+                         max_candidates=48)
+        # first substep sorts; its output is Morton-ordered
+        state, dt, _ = substep_jit(state, dt, params, None, cfg)
+        s_a, dt_a, _ = substep_jit(state, dt, params, None, cfg,
+                                   do_sort=True)
+        s_b, dt_b, _ = substep_jit(state, dt, params, None, cfg,
+                                   do_sort=False)
+        o_a, o_b = self._by_pos(s_a), self._by_pos(s_b)
+        np.testing.assert_allclose(
+            np.asarray(s_a.position)[o_a], np.asarray(s_b.position)[o_b],
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_a.density)[o_a], np.asarray(s_b.density)[o_b],
+            rtol=1e-5,
+        )
+        assert float(dt_a) == pytest.approx(float(dt_b), rel=1e-6)
+
+    def test_exact_impl_rejected(self):
+        from libclsph_tpu.engine.step import substep_jit
+
+        params, state, dt = self._setup(n=256)
+        cfg = StepConfig(neighbor_impl="exact")
+        with pytest.raises(ValueError, match="sort skipping"):
+            substep_jit(state, dt, params, None, cfg, do_sort=False)
