@@ -316,6 +316,9 @@ def handle_collisions(
     f_total = scene.face_count
 
     # --- locate the LAST containing face AABB (collisionsv2.cl:253-261)
+    # don't pad a small face list up to a whole chunk: cube.obj has 12
+    # faces and would otherwise scan (N, 256) boxes — 20x the compares
+    face_chunk = min(face_chunk, ((f_total + 7) // 8) * 8)
     f_pad = (-f_total) % face_chunk
     inf = jnp.float32(jnp.inf)
     cb_min = jnp.concatenate([scene.bb_min, jnp.full((f_pad, 3), inf)]) if f_pad else scene.bb_min
