@@ -58,6 +58,30 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="disable the force pass's true-hit candidate compaction",
     )
     ap.add_argument(
+        "--force-query-rows", type=int, default=128, choices=[32, 128],
+        help="force-pass query granularity (32 = per-subgroup hit lists)",
+    )
+    ap.add_argument(
+        "--force-sub16", action="store_true",
+        help="16-wide candidate subblocks for the q32 force pass",
+    )
+    ap.add_argument(
+        "--max-candidates-hit16", type=int, default=64,
+        help="per-subgroup capacity for the 16-wide force pass",
+    )
+    ap.add_argument(
+        "--density-sub16", action="store_true",
+        help="16-wide candidate subblocks for the density pass too",
+    )
+    ap.add_argument(
+        "--tier2-frac", type=int, default=0,
+        help="two-tier candidate-capacity routing (0 = off)",
+    )
+    ap.add_argument(
+        "--sort-interval", type=int, default=1,
+        help="re-sort particles every k-th substep (single-chip only)",
+    )
+    ap.add_argument(
         "--confirm", action="store_true",
         help="ask for confirmation before simulating (reference behaviour)",
     )
@@ -105,6 +129,12 @@ def main(argv=None) -> int:
         max_candidates_sub=args.max_candidates_sub,
         max_candidates_hit=args.max_candidates_hit,
         hit_compact=not args.no_hit_compact,
+        force_query_rows=args.force_query_rows,
+        force_sub16=args.force_sub16,
+        max_candidates_hit16=args.max_candidates_hit16,
+        density_sub16=args.density_sub16,
+        tier2_frac=args.tier2_frac,
+        sort_interval=args.sort_interval,
     )
     mesh = None
     if args.mesh:
