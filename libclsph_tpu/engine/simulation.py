@@ -264,6 +264,25 @@ class SPHSimulation:
 
         saver.submit(run)
 
+    def _save_deferred(self, saver: AsyncSaver, state, fetch):
+        """Like _save, but the device->host fetch itself runs on the
+        saver thread, overlapping the transfer with the next frame's
+        dispatch (the functional step never mutates ``state``'s
+        buffers, so the snapshot stays valid; frame_jit deliberately
+        has no donate_argnums). Through a tunneled device the fetch is
+        seconds per 1M frame — previously paid inline in the loop."""
+        p = self.parameters
+        save_cb = self.save_frame
+        ckpt = self.checkpoint_path if self.serialize else None
+
+        def run():
+            arrays = fetch(state)
+            save_cb(arrays, p)
+            if ckpt:
+                ckpt_mod.save_checkpoint(ckpt, arrays, p)
+
+        saver.submit(run)
+
     # ------------------------------------------------------------------
     def _simulate_sharded(self) -> float:
         """Multi-chip frame loop: substeps run under shard_map over
@@ -390,7 +409,8 @@ class SPHSimulation:
             if self.device_view:
                 self.device_view(state, p, True)
             if self.save_frame:
-                self._save(saver, fetch_real(state))
+                # the saver thread fetches + owns its own snapshot
+                self._save_deferred(saver, state, fetch_real)
             if self.post_frame:
                 arrays = fetch_real(state)
                 if self.post_frame(arrays, p, True):
@@ -493,8 +513,8 @@ class SPHSimulation:
             if self.device_view:
                 self.device_view(state, p, True)
             if fast_path and self.save_frame:
-                # the saver thread owns its own snapshot
-                self._save(saver, self._fetch(state))
+                # the saver thread fetches + owns its own snapshot
+                self._save_deferred(saver, state, self._fetch)
                 arrays = None
             if fast_path and self.post_frame:
                 if arrays is None:
