@@ -398,7 +398,7 @@ class SPHSimulation:
                     )
                     log.debug("frame time remaining: %g", timeleft)
                     if self.save_frame:
-                        self._save(saver, fetch_real(state))
+                        self._save_deferred(saver, state, fetch_real)
                     if self.post_frame:
                         arrays = fetch_real(state)
                         if self.post_frame(arrays, p, False):
@@ -497,8 +497,8 @@ class SPHSimulation:
                     dt = jnp.float32(min(dt_f, timeleft) if timeleft < dt_f else dt_f)
                     log.debug("frame time remaining: %g", timeleft)
                     if self.save_frame:
-                        self._save(saver, self._fetch(state))
-                        # the saver thread owns that snapshot now
+                        self._save_deferred(saver, state, self._fetch)
+                        # the saver thread fetches its own snapshot
                         arrays = None
                     if self.post_frame:
                         if arrays is None:
