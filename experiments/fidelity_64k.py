@@ -20,6 +20,8 @@ sys.path.insert(0, ".")
 if len(sys.argv) > 1:
     os.environ["LIBCLSPH_TPU_DOT_MODE"] = sys.argv[1]
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,15 @@ import numpy as np
 from libclsph_tpu.core.params import derive_parameters
 from libclsph_tpu.core.state import init_state
 from libclsph_tpu.engine.step import StepConfig, substep_jit
+
+platform = jax.devices()[0].platform
+print(f"platform={platform}", file=sys.stderr, flush=True)
+if platform != "tpu" and not os.environ.get("FIDELITY_ALLOW_CPU"):
+    # a failed TPU init silently falls back to CPU, where the Pallas
+    # kernels run in interpret mode — a 64k substep then takes minutes
+    # and the run looks hung (r3_results.jsonl fidelity-highest, 40 min
+    # of host spin with no output). Fail loudly instead.
+    sys.exit("refusing to run on CPU fallback (set FIDELITY_ALLOW_CPU=1)")
 
 N = int(os.environ.get("FIDELITY_N", "65536"))
 SETTLE = int(os.environ.get("FIDELITY_SETTLE", "20"))
@@ -45,9 +56,16 @@ cfg = StepConfig(neighbor_impl="pallas", pallas_variant="nl",
 
 state = init_state(params)
 dt = jnp.float32(params.max_dt)
-for _ in range(SETTLE):
+t0 = time.perf_counter()
+for i in range(SETTLE):
     state, dt, flags = substep_jit(state, dt, params, None, cfg)
+    if i == 0:
+        jax.block_until_ready(state.position)
+        print(f"first substep (incl compile): "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr, flush=True)
 assert not int(flags), int(flags)
+print(f"settled {SETTLE} substeps in {time.perf_counter() - t0:.1f}s",
+      file=sys.stderr, flush=True)
 
 # one more substep at negligible dt: density/accel are evaluated on the
 # (fetched) input positions. The substep SORTS the particles, so the

@@ -115,7 +115,7 @@ def _rank_hist_kernel(keys_ref, local_ref, hist_ref, *, shift, d, groups):
         local_ref[r : r + 1, :] = jnp.sum(
             ef * scan_t, axis=0, keepdims=True
         ).astype(jnp.int32)
-        hist_ref[:, r : r + 1] = jnp.sum(ef, axis=1, keepdims=True)
+        hist_ref[0, :, r : r + 1] = jnp.sum(ef, axis=1, keepdims=True)
 
 
 def _radix_pass_fused(keys, vals, shift, *, bits, groups, interpret, apply):
@@ -130,20 +130,29 @@ def _radix_pass_fused(keys, vals, shift, *, bits, groups, interpret, apply):
     d = 1 << bits
     nb = n // LANES
     ki = keys.astype(jnp.int32)  # Morton keys < 2^30: int32-safe
-    local, hist = pl.pallas_call(
+    # the histogram tile is written column-per-block as (LANES, groups);
+    # a 2D (LANES, nb) output would need an illegal (128, groups) block
+    # (Mosaic: last block dim must be %128 or the full array dim), so the
+    # output is 3D with the grid step as the leading dim — the block's
+    # trailing dims then EQUAL the array dims. The digit-major relayout
+    # happens in XLA afterwards (a few MB, off the kernel's critical path).
+    local, hist3 = pl.pallas_call(
         functools.partial(_rank_hist_kernel, shift=shift, d=d, groups=groups),
         grid=(nb // groups,),
         in_specs=[pl.BlockSpec((groups, LANES), lambda g: (g, 0))],
         out_specs=[
             pl.BlockSpec((groups, LANES), lambda g: (g, 0)),
-            pl.BlockSpec((LANES, groups), lambda g: (0, g)),
+            pl.BlockSpec((1, LANES, groups), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((LANES, nb), jnp.float32),
+            jax.ShapeDtypeStruct((nb // groups, LANES, groups), jnp.float32),
         ],
         interpret=interpret,
     )(ki.reshape(nb, LANES))
+    # (steps, LANES, groups) -> digit-major (LANES, nb): block b of step s
+    # sits at column s*groups + r
+    hist = hist3.transpose(1, 0, 2).reshape(LANES, nb)
     # global exclusive scan over the digit-major (d, nb) table: counts
     # are integers <= n < 2^24, exact in f32
     flat = hist[:d].reshape(-1)
