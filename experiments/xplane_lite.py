@@ -75,15 +75,34 @@ def _line(buf) -> tuple[str, list[tuple[int, int]]]:
     return name, events
 
 
-def _event_metadata(buf) -> tuple[int, str]:
+def _stat(buf) -> tuple[int, object]:
+    """XStat: metadata_id=1; value oneof double=2/uint64=3/int64=4/str=5."""
+    mid = 0
+    val = None
+    for fnum, wt, v in fields(bytes(buf)):
+        if fnum == 1 and wt == 0:
+            mid = v
+        elif fnum == 5 and wt == 2:
+            val = bytes(v).decode("utf-8", "replace")
+        elif fnum in (2, 3, 4):
+            val = v
+    return mid, val
+
+
+def _event_metadata(buf, stat_names=None) -> tuple[int, str, dict]:
     mid = 0
     name = ""
+    stats = {}
     for fnum, wt, val in fields(bytes(buf)):
         if fnum == 1 and wt == 0:
             mid = val
         elif fnum == 2 and wt == 2:
             name = bytes(val).decode("utf-8", "replace")
-    return mid, name
+        elif fnum == 5 and wt == 2:
+            sid, sval = _stat(val)
+            key = stat_names.get(sid, sid) if stat_names else sid
+            stats[key] = sval
+    return mid, name, stats
 
 
 def _map_entry(buf):
@@ -100,7 +119,8 @@ def _map_entry(buf):
 def _plane(buf):
     name = ""
     lines = []
-    meta: dict[int, str] = {}
+    meta_raw = []
+    stat_names: dict[int, str] = {}
     for fnum, wt, val in fields(bytes(buf)):
         if fnum == 2 and wt == 2:
             name = bytes(val).decode("utf-8", "replace")
@@ -108,13 +128,22 @@ def _plane(buf):
             lines.append(_line(val))
         elif fnum == 4 and wt == 2:
             _k, v = _map_entry(val)
-            mid, mname = _event_metadata(v)
-            meta[mid] = mname
+            meta_raw.append(v)
+        elif fnum == 5 and wt == 2:
+            _k, v = _map_entry(val)
+            sid, sname, _ = _event_metadata(v)
+            stat_names[sid] = sname
+    meta: dict[int, tuple[str, dict]] = {}
+    for v in meta_raw:
+        mid, mname, stats = _event_metadata(v, stat_names)
+        meta[mid] = (mname, stats)
     return name, lines, meta
 
 
 def read_xspace(path: str):
-    """Return [(plane_name, [(line_name, [(event_name, duration_ps)])])]."""
+    """Return [(plane_name, [(line_name, [(event_name, dur_ps, stats)])])].
+    ``stats`` is the event metadata's stat dict (e.g. 'tf_op' = the JAX
+    scope path, 'source_info'/29 = file:line)."""
     with open(path, "rb") as f:
         buf = f.read()
     planes = []
@@ -126,7 +155,10 @@ def read_xspace(path: str):
                 out_lines.append(
                     (
                         lname,
-                        [(meta.get(mid, f"#{mid}"), dur) for mid, dur in events],
+                        [
+                            (*meta.get(mid, (f"#{mid}", {})), dur)
+                            for mid, dur in events
+                        ],
                     )
                 )
             planes.append((pname, out_lines))

@@ -40,6 +40,7 @@ def parse_xplane(trace_dir):
     from xplane_lite import read_xspace
 
     totals = defaultdict(lambda: [0.0, 0])
+    by_src = defaultdict(lambda: [0.0, 0])
     for pname, lines in read_xspace(path):
         # device planes: '/device:TPU:0' (+ ':TensorCore'), not host threads
         if "TPU" not in pname and "GPU" not in pname and "Device" not in pname:
@@ -48,11 +49,16 @@ def parse_xplane(trace_dir):
             # XLA op lines carry per-op events; step/module lines duplicate
             if "XLA Modules" in lname or "Steps" in lname:
                 continue
-            for op, dur_ps in events:
+            for op, stats, dur_ps in events:
                 key = (pname, lname, op)
                 totals[key][0] += dur_ps / 1e6
                 totals[key][1] += 1
-    return path, totals
+                src = stats.get(29) or stats.get("source_info") or ""
+                tf_op = stats.get("tf_op") or ""
+                skey = f"{src}  [{tf_op[:60]}]" if (src or tf_op) else "(none)"
+                by_src[skey][0] += dur_ps / 1e6
+                by_src[skey][1] += 1
+    return path, totals, by_src
 
 
 def main():
@@ -126,8 +132,15 @@ def main():
               f"({1000 * wall / args.steps:.1f} ms/substep wall)",
               file=sys.stderr)
 
-    path, totals = parse_xplane(args.trace_dir)
+    path, totals, by_src = parse_xplane(args.trace_dir)
     print(f"# parsed {path}", file=sys.stderr)
+
+    steps0 = max(args.steps, 1)
+    print("== by source line ==")
+    src_rows = sorted(by_src.items(), key=lambda kv: -kv[1][0])
+    for src, (us, cnt) in src_rows[: args.top]:
+        print(f"{us / 1000 / steps0:9.3f} ms/step x{cnt:<6d} {src[:140]}")
+    print("== by op ==")
 
     # aggregate over planes/lines by op name
     by_op = defaultdict(lambda: [0.0, 0])

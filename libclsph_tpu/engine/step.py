@@ -434,7 +434,7 @@ def _density_forces_pallas_nl(
         def make_c16_pack(density, pressure):
             return nl.make_c16_force_pack(
                 state.position, state.velocity, density, pressure,
-                real, mass=mass, center=center,
+                real, mass=mass, center=center, with_gid=False,
             )
 
         return nl_two_tier_passes(
@@ -542,7 +542,7 @@ def _density_forces_pallas_nl(
     if sub16:
         c16_pack = nl.make_c16_force_pack(
             state.position, state.velocity, density, pressure, real,
-            mass=mass, center=center,
+            mass=mass, center=center, with_gid=False,
         )
         accel = nl.fused_forces_nl32_c16(
             q_force, c16_pack, cand_f, count_f, params, terms, real,

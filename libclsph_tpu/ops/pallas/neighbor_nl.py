@@ -718,13 +718,15 @@ def _forces_kernel_q32(count_ref, q, qrow, c, out, acc, *, h, spiky, visc,
 
 
 def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
-               group=GROUP):
+               group=GROUP, with_gid_planes=False):
     """Driver for the q32 force kernel: grid (nb*QG, mg) where 4
     consecutive i's share one query block (and one out block — the
     finalize writes disjoint lane ranges). Chunked like _nl_call, with
     chunks kept QG-aligned so subgroups never straddle a chunk.
     ``group``: candidate subblocks per 128-lane tile (GROUP for the
-    32-wide pack, GROUP16 for the 16-wide one)."""
+    32-wide pack, GROUP16 for the 16-wide one). ``with_gid_planes``:
+    also feed :func:`make_gid_planes` rows as a VMEM side input (the
+    self_from_ids gid reconstruction)."""
     nb4 = cand_sub.shape[0]
     nb = q.shape[0]
     if nb4 != nb * QG:
@@ -740,23 +742,30 @@ def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
 
     def run_chunk(args):
         cand_c, count_c, qc, qrow_c = args
+        in_specs = [
+            pl.BlockSpec(
+                (1, f_q, Q32, 1),
+                lambda i, m, *_: (i // QG, 0, i % QG, 0),
+            ),
+            pl.BlockSpec(
+                (1, f_q, b), lambda i, m, *_: (i // QG, 0, 0)
+            ),
+            pl.BlockSpec(
+                (TPS * group, fs), lambda i, m, *_: (i * mg + m, 0)
+            ),
+        ]
+        extra = ()
+        if with_gid_planes:
+            in_specs.append(
+                pl.BlockSpec((1, TPS, LANES), lambda i, m, *_: (i, m, 0))
+            )
+            extra = (make_gid_planes(cand_c, mg),)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(cand_c.shape[0], mg),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, f_q, Q32, 1),
-                    lambda i, m, n_: (i // QG, 0, i % QG, 0),
-                ),
-                pl.BlockSpec(
-                    (1, f_q, b), lambda i, m, n_: (i // QG, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (TPS * group, fs), lambda i, m, n_: (i * mg + m, 0)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, out_rows, b), lambda i, m, n_: (i // QG, 0, 0)
+                (1, out_rows, b), lambda i, m, *_: (i // QG, 0, 0)
             ),
             scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
         )
@@ -768,7 +777,7 @@ def _nl32_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
                 (cand_c.shape[0] // QG, out_rows, b), jnp.float32
             ),
             interpret=interpret,
-        )(count_c, qc, qrow_c, raw)
+        )(count_c, qc, qrow_c, raw, *extra)
 
     if chunk >= nb4:
         return run_chunk((cand_sub, count_tiles, q, q_row))
@@ -848,11 +857,24 @@ def fused_forces_nl32(
 
 
 def make_c16_force_pack(position, velocity, density, pressure, real,
-                        mass=1.0, gid_offset=0, gid=None, center=None):
-    """Force-field pack at 16-particle subblock rows: (nc16+1, 16*16)
-    flat rows [px py pz vx vy vz pm mr gid + 7 zero pads] x 16 lanes
-    each — 256 lanes = 2 whole vregs per row (the gather_raw layout
-    rule). Field order identical to make_csub_packs' force pack."""
+                        mass=1.0, gid_offset=0, gid=None, center=None,
+                        with_gid=True):
+    """Force-field pack at 16-particle subblock rows.
+
+    ``with_gid=True`` (the sharded layout, where table-row gids are
+    exchange-carried and NOT derivable from slot arithmetic):
+    (nc16+1, 16*16) flat rows [px py pz vx vy vz pm mr gid + 7 zero
+    pads] x 16 lanes each — 256 lanes = 2 whole vregs per row (the
+    gather_raw layout rule). Field order identical to make_csub_packs'
+    force pack.
+
+    ``with_gid=False`` (single-chip production): 8 fields x 16 lanes =
+    EXACTLY one 128-lane vreg per row, no pad lanes — HALF the gather
+    + kernel DMA volume of the 9-field layout (2.05 -> 1.02 GB/substep
+    at 1M, xprof r3). The kernel then reconstructs candidate gids from
+    the hit-list slot ids (fused_forces_nl32_c16 self_from_ids=True);
+    valid only when pack row r, lane l holds global particle r*16+l.
+    """
     n = position.shape[0]
     nc = n // SUB16
     if gid is None and isinstance(gid_offset, int) and (
@@ -864,17 +886,24 @@ def make_c16_force_pack(position, velocity, density, pressure, real,
     safe_rho = jnp.where(density > 0, density, 1.0)
     pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
     mr = jnp.where(real, mass / safe_rho, 0.0)
-    if gid is None:
-        gidf = (jnp.arange(n, dtype=jnp.int32) + gid_offset).astype(jnp.float32)
-    else:
-        gidf = gid.astype(jnp.float32)
     px, py, pz = position[:, 0], position[:, 1], position[:, 2]
     vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
-    fields = [px, py, pz, vx, vy, vz, pm, mr, gidf]
-    a = jnp.stack(fields, axis=0)  # (9, n)
-    a = a.reshape(9, nc, SUB16).swapaxes(0, 1).reshape(nc, 9 * SUB16)
-    a = jnp.pad(a, ((0, 0), (0, (16 - 9) * SUB16)))  # 256 lanes
-    dead = jnp.zeros((1, 16 * SUB16), jnp.float32)
+    fields = [px, py, pz, vx, vy, vz, pm, mr]
+    if with_gid:
+        if gid is None:
+            gidf = (
+                jnp.arange(n, dtype=jnp.int32) + gid_offset
+            ).astype(jnp.float32)
+        else:
+            gidf = gid.astype(jnp.float32)
+        fields.append(gidf)
+    nf = len(fields)
+    pad_to = 16 if with_gid else 8
+    a = jnp.stack(fields, axis=0)  # (nf, n)
+    a = a.reshape(nf, nc, SUB16).swapaxes(0, 1).reshape(nc, nf * SUB16)
+    if pad_to != nf:
+        a = jnp.pad(a, ((0, 0), (0, (pad_to - nf) * SUB16)))
+    dead = jnp.zeros((1, pad_to * SUB16), jnp.float32)
     dead = dead.at[:, : 3 * SUB16].set(FAR)
     return jnp.concatenate([a, dead], axis=0)
 
@@ -929,8 +958,31 @@ def _transpose16_half(cv):
     return out
 
 
-def _forces_kernel_q32_c16(count_ref, q, qrow, c, out, acc, *, h, spiky,
-                           visc, poly6_grad, poly6_lap, eps, r2_mxu):
+def make_gid_planes(cand_padded, mg):
+    """Per-tile candidate gid rows for the self_from_ids force path:
+    (nb4, mp) padded hit-list ids -> (nb4, mg*TPS, 128) f32 where
+    plane [i, m*TPS+s, l] = cand[i, (m*TPS+s)*GROUP16 + l//16] * 16 +
+    l % 16 — the global particle id of lane l in tile s. A tiny VMEM
+    side input (4 KB/grid step) replacing the gathered gid field: the
+    id table CANNOT ride scalar prefetch (SMEM is 1 MB; the table is
+    8 MB at 1M). Sentinel ids (2^30) map to 2^34 (a power of two:
+    f32-exact), never equal to a real gid (< 2^24 by the pack guard)."""
+    nb4, mp = cand_padded.shape
+    lanes = (
+        cand_padded.astype(jnp.float32)[:, :, None] * float(SUB16)
+        + jnp.arange(SUB16, dtype=jnp.float32)[None, None, :]
+    )
+    return lanes.reshape(nb4, mg * TPS, LANES)
+
+
+def _forces_kernel_q32_c16(count_ref, q, qrow, c, *rest, h, spiky, visc,
+                           poly6_grad, poly6_lap, eps, r2_mxu,
+                           self_from_ids=False):
+    if self_from_ids:
+        c_gid, out, acc = rest
+    else:
+        c_gid = None
+        out, acc = rest
     i = pl.program_id(0)
     m = pl.program_id(1)
     g = jax.lax.rem(i, QG)
@@ -947,11 +999,22 @@ def _forces_kernel_q32_c16(count_ref, q, qrow, c, out, acc, *, h, spiky,
 
         @pl.when(m * TPS + s < count_ref[i])
         def _(s=s):
-            tile = _tile_from_raw16(c, s)  # (9, 128)
+            if self_from_ids:
+                # 8-field pack: one vreg per row; gid row from the
+                # precomputed plane instead of a gathered field
+                tile = _transpose16_half(
+                    c[s * GROUP16 : (s + 1) * GROUP16, :]
+                )  # (8, 128)
+                gid_row = c_gid[0, s : s + 1, :]
+                row = lambda k: (
+                    gid_row if k == 8 else tile[k : k + 1, :]
+                )
+            else:
+                tile = _tile_from_raw16(c, s)  # (9, 128)
+                row = lambda k: tile[k : k + 1, :]
             _forces_pair_q32(
                 lambda k: q[0, k],
-                lambda k: tile[k : k + 1, :],
-                qrow, acc,
+                row, qrow, acc,
                 h=h, spiky=spiky, visc=visc,
                 poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
                 r2_mxu=r2_mxu,
@@ -980,8 +1043,14 @@ def fused_forces_nl32_c16(
     (32-id * 2 + half, from the density pass's hit_sub=16 flags);
     ``c16_force_pack`` from :func:`make_c16_force_pack`. Physics
     identical at ~0.72x the (q32, c32) pair volume (552 vs 770
-    slots/particle, experiments/volume_probe.py)."""
+    slots/particle, experiments/volume_probe.py).
+
+    The pack layout picks the self-exclusion mode: a 128-lane pack
+    (with_gid=False) enables the in-kernel gid reconstruction
+    (self_from_ids — half the candidate DMA); a 256-lane pack carries a
+    gathered gid plane (the sharded/exchanged-table layout)."""
     interpret = _interpret_default() if interpret is None else interpret
+    self_from_ids = c16_force_pack.shape[1] == 8 * SUB16
     cand_hit16, count_tiles = _pad_groups(
         cand_hit16, count_hit16, group=GROUP16
     )
@@ -994,10 +1063,11 @@ def fused_forces_nl32_c16(
         poly6_lap=float(terms.poly_6_laplacian),
         eps=smoothing.EPSILON,
         r2_mxu=r2_mxu,
+        self_from_ids=self_from_ids,
     )
     sums = _nl32_call(
         kernel, q_force, c16_force_pack, cand_hit16, count_tiles, 10,
-        interpret, group=GROUP16,
+        interpret, group=GROUP16, with_gid_planes=self_from_ids,
     )
     return _combine_forces(sums, params, real_flat, density)
 #

@@ -326,10 +326,47 @@ SELF_BIAS = 2**29
 
 
 def _self_priority_sort(keys, self_lo, self_width, max_out):
-    """Ascending row sort + truncate to ``max_out``, with ids in
-    [self_lo, self_lo + self_width) biased to sort first. ``keys``
-    (nb, K) candidate ids (dead = REFINE_SENTINEL); ``self_lo`` (nb,)
-    or None (plain sort)."""
+    """Compact live candidate ids to the first ``max_out`` slots, ids in
+    [self_lo, self_lo + self_width) guaranteed to survive truncation.
+    ``keys`` (nb, K) candidate ids (dead = REFINE_SENTINEL); ``self_lo``
+    (nb,) or None (no self priority).
+
+    Two implementations (LIBCLSPH_TPU_COMPACT, read per trace):
+    * ``sort``: ascending row sort with self ids biased first — output
+      slot order is globally ascending (after self ids).
+    * ``scatter``: two row cumsums compute each live id's destination
+      (self ids first, then encounter order) + ONE 2D scatter. No
+      O(K log K) sort — the (nb, sub*m) truncation sorts were ~13 ms of
+      the 1M substep (xprof, r3_results.jsonl). Output order is
+      plane-encounter order, still live-first + self-first; consumers
+      (kernel count bounds, tier-2's [:c1] slice, gather locality)
+      only require live-first + self-priority, not ascending.
+    """
+    if os.environ.get("LIBCLSPH_TPU_COMPACT", "sort") == "scatter":
+        nb, _k = keys.shape
+        live = keys != REFINE_SENTINEL
+        if self_lo is not None:
+            is_self = (
+                live
+                & (keys >= self_lo[:, None])
+                & (keys < self_lo[:, None] + self_width)
+            )
+        else:
+            is_self = jnp.zeros_like(live)
+        is_other = live & ~is_self
+        c_self = jnp.cumsum(is_self, axis=1, dtype=jnp.int32)
+        c_other = jnp.cumsum(is_other, axis=1, dtype=jnp.int32)
+        dest = jnp.where(is_self, c_self - 1, c_self[:, -1:] + c_other - 1)
+        ok = live & (dest < max_out)
+        # colliding writes (everything truncated or dead) land in the
+        # trash column max_out and all write SENTINEL — order-safe
+        dest = jnp.where(ok, dest, max_out)
+        vals = jnp.where(ok, keys, REFINE_SENTINEL)
+        out = jnp.full((nb, max_out + 1), REFINE_SENTINEL, keys.dtype)
+        out = out.at[
+            jnp.arange(nb, dtype=jnp.int32)[:, None], dest
+        ].set(vals, mode="promise_in_bounds")
+        return out[:, :max_out]
     if self_lo is not None:
         is_self = (keys >= self_lo[:, None]) & (
             keys < self_lo[:, None] + self_width
@@ -340,9 +377,12 @@ def _self_priority_sort(keys, self_lo, self_width, max_out):
         out = jnp.where(out < 0, out + SELF_BIAS, out)
     return out
 
-# transient budget for refine's gathered (rows, 128) box stream
+# transient budget for refine's gathered (rows, 128) box stream.
+# 2 GB runs the 1M refine as ONE dispatch (the 1.15 GB gather fits):
+# the lax.map chunk loop's carry copies were serializing ~9 ms/substep
+# at 1M (xprof r3, q1-refine1d row); 4M still chunks (4.8 GB transient).
 REFINE_CHUNK_BYTES = (
-    int(os.environ.get("LIBCLSPH_TPU_REFINE_CHUNK_MB", "512")) << 20
+    int(os.environ.get("LIBCLSPH_TPU_REFINE_CHUNK_MB", "2048")) << 20
 )
 
 

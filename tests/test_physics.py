@@ -437,9 +437,11 @@ def test_hit_flags_semantics(rng):
             assert (hits[i, j] > 0) == bool((d2 < h2).any()), (i, j)
 
     # compact_hits keeps exactly the flagged slots and reports overflow
+    # (compare as sorted sets: the scatter compaction impl is live-first
+    # but not ascending — see tiles._self_priority_sort)
     ch, cnh, ovf = tiles_ops.compact_hits(cand_sub, jnp.asarray(hits), 96)
     want = np.sort(np.where(hits > 0, cs, tiles_ops.REFINE_SENTINEL), axis=1)
-    np.testing.assert_array_equal(np.asarray(ch), want[:, :96])
+    np.testing.assert_array_equal(np.sort(np.asarray(ch), axis=1), want[:, :96])
     np.testing.assert_array_equal(np.asarray(cnh), (hits > 0).sum(1))
     assert not bool(ovf)
     tiny_cap = max(1, int((hits > 0).sum(1).max()) - 1)
@@ -727,3 +729,57 @@ def test_engine_raises_on_grid_explosion():
     with pytest.raises(RuntimeError, match="1024"):
         sim._needs_rerun(FLAG_GRID_DIM)
     assert sim._needs_rerun(0) is False
+
+
+def test_scatter_compaction_matches_sort(rng, monkeypatch):
+    """LIBCLSPH_TPU_COMPACT=scatter keeps the same LIVE ID SET per row
+    as the sort implementation (order differs by design: encounter
+    order vs ascending), is live-first, and preserves self-priority
+    under truncation."""
+    from libclsph_tpu.ops import tiles as tiles_ops
+
+    nb, K = 64, 96
+    sent = tiles_ops.REFINE_SENTINEL
+    ids = rng.integers(0, 500, (nb, K)).astype(np.int32)
+    ids = np.where(rng.random((nb, K)) < 0.6, sent, ids)
+    # de-dup live ids per row (real refine lists are duplicate-free)
+    for r in range(nb):
+        live = ids[r] != sent
+        vals, idx = np.unique(ids[r][live], return_index=True)
+        row = np.full(K, sent, np.int32)
+        row[np.flatnonzero(live)[idx]] = vals
+        ids[r] = row
+    self_lo = rng.integers(0, 480, nb).astype(np.int32)
+    width = 16
+
+    def run(impl, cap):
+        monkeypatch.setenv("LIBCLSPH_TPU_COMPACT", impl)
+        out = tiles_ops._self_priority_sort(
+            jnp.asarray(ids), jnp.asarray(self_lo), width, cap
+        )
+        return np.asarray(jax.jit(lambda x: x)(out))
+
+    # no truncation: identical live sets, scatter is live-first
+    cap = K
+    a = run("sort", cap)
+    b = run("scatter", cap)
+    for r in range(nb):
+        sa = set(a[r][a[r] != sent].tolist())
+        sb = set(b[r][b[r] != sent].tolist())
+        assert sa == sb, r
+        nlive = len(sb)
+        assert (b[r][:nlive] != sent).all() and (b[r][nlive:] == sent).all()
+
+    # truncation: every self id still survives in both
+    cap_t = 8
+    bt = run("scatter", cap_t)
+    at = run("sort", cap_t)
+    for r in range(nb):
+        selfs = {
+            v
+            for v in ids[r].tolist()
+            if v != sent and self_lo[r] <= v < self_lo[r] + width
+        }
+        if len(selfs) <= cap_t:
+            assert selfs <= set(bt[r].tolist()), r
+            assert selfs <= set(at[r].tolist()), r
