@@ -60,21 +60,24 @@ def main():
         "--pallas-variant", default="nl", choices=["nl", "asm", "row", "fine", "asym"]
     )
     ap.add_argument("--nl-query-rows", type=int, default=128)
-    ap.add_argument("--max-candidates-sub", type=int, default=128)
+    ap.add_argument("--max-candidates-sub", type=int, default=192,
+                    help="r3 default sized for the 16-granular tables")
     ap.add_argument("--max-candidates-hit", type=int, default=96)
     ap.add_argument("--no-hit-compact", action="store_true")
-    ap.add_argument("--force-query-rows", type=int, default=128,
+    ap.add_argument("--force-query-rows", type=int, default=32,
                     choices=[32, 128])
-    ap.add_argument("--force-sub16", action="store_true",
+    ap.add_argument("--force-sub16", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="16-wide candidate subblocks for the q32 force pass")
     ap.add_argument("--max-candidates-hit16", type=int, default=64)
-    ap.add_argument("--density-sub16", action="store_true",
+    ap.add_argument("--density-sub16", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="16-wide candidate tables for the density pass too "
                     "(implies --force-sub16 force path; size "
                     "--max-candidates-sub in 16-wide units, ~1.5x)")
     ap.add_argument("--tier2-frac", type=int, default=0)
     ap.add_argument("--tier2-mult", type=int, default=2)
-    ap.add_argument("--sort-interval", type=int, default=1,
+    ap.add_argument("--sort-interval", type=int, default=2,
                     help="re-sort every k-th substep (1 = every substep)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()

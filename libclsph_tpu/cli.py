@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import dataclasses
 import sys
 
 from .engine.simulation import SPHSimulation
@@ -58,11 +59,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="disable the force pass's true-hit candidate compaction",
     )
     ap.add_argument(
-        "--force-query-rows", type=int, default=128, choices=[32, 128],
+        "--force-query-rows", type=int, default=32, choices=[32, 128],
         help="force-pass query granularity (32 = per-subgroup hit lists)",
     )
     ap.add_argument(
-        "--force-sub16", action="store_true",
+        "--force-sub16", action=argparse.BooleanOptionalAction, default=True,
         help="16-wide candidate subblocks for the q32 force pass",
     )
     ap.add_argument(
@@ -70,7 +71,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="per-subgroup capacity for the 16-wide force pass",
     )
     ap.add_argument(
-        "--density-sub16", action="store_true",
+        "--density-sub16", action=argparse.BooleanOptionalAction, default=True,
         help="16-wide candidate subblocks for the density pass too",
     )
     ap.add_argument(
@@ -78,7 +79,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="two-tier candidate-capacity routing (0 = off)",
     )
     ap.add_argument(
-        "--sort-interval", type=int, default=1,
+        "--sort-interval", type=int, default=2,
         help="re-sort particles every k-th substep (single-chip only)",
     )
     ap.add_argument(
@@ -136,6 +137,13 @@ def main(argv=None) -> int:
         tier2_frac=args.tier2_frac,
         sort_interval=args.sort_interval,
     )
+    if args.mesh and args.sort_interval != 1:
+        if args.sort_interval != 2:  # explicit non-default: hard error
+            print("--sort-interval > 1 is unsupported with --mesh "
+                  "(Morton order is load-bearing for shard ownership)",
+                  file=sys.stderr)
+            return -1
+        cfg = dataclasses.replace(cfg, sort_interval=1)
     mesh = None
     if args.mesh:
         import jax
