@@ -72,21 +72,30 @@ print(f"settled {SETTLE} substeps in {time.perf_counter() - t0:.1f}s",
 # device outputs are in Morton order — match rows to the fetched input
 # by quantized position order (tests/test_physics.py match_order; the
 # 1e-9 dt moves positions by <= |v| * 1e-9, below the 1e-6 quantum).
+def mark(msg, t=[time.perf_counter()]):
+    now = time.perf_counter()
+    print(f"[{now - t[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
+    t[0] = now
+
 pos0 = np.asarray(state.position, np.float64)
 vel0 = np.asarray(state.velocity, np.float64)
+mark("fetched settled state")
 out, _, _ = substep_jit(state, jnp.float32(1e-9), params, None, cfg)
 
 
 def order(p):
     return np.lexsort(np.round(p, 6).T)
 
-
+mark("dispatched 1e-9 substep")
+out_pos = np.asarray(out.position, np.float64)
+mark("fetched substep output")
 o_ref = order(pos0)
-o_dev = order(np.asarray(out.position, np.float64))
+o_dev = order(out_pos)
 pos = pos0[o_ref]
 vel = vel0[o_ref]
 rho_dev = np.asarray(out.density, np.float64)[o_dev]
 acc_dev = np.asarray(out.acceleration, np.float64)[o_dev]
+mark("ordered device outputs")
 
 h = float(params.h)
 mass = float(params.particle_mass)
@@ -107,6 +116,9 @@ for s in range(0, N, CH):
     r2 = np.maximum(nrm[s : s + CH, None] + nrm[None, :] - 2.0 * g, 0.0)
     t = np.maximum(h * h - r2, 0.0)
     rho[s : s + CH] = mass * c_poly6 * (t**3).sum(axis=1)
+    if s == 0:
+        mark("density oracle: first chunk")
+mark("density oracle done")
 press = params.K * ((rho / params.fluid_density) ** 7 - 1.0)
 
 rms_rel_rho = float(np.sqrt(np.mean(((rho_dev - rho) / rho) ** 2)))
@@ -149,6 +161,8 @@ for k, i in enumerate(rows):
     if nlen > params.surface_tension_threshold:
         total += -params.surface_tension * lap * normal / nlen
     acc[k] = total / rho[i] + np.asarray(params.constant_acceleration)
+    if k == 0:
+        mark("accel oracle: first row")
 
 scale = np.abs(acc).max()
 err = np.abs(acc_dev[rows] - acc)

@@ -125,10 +125,16 @@ def main():
     import jax.numpy as jnp
 
     impl = args.impl or ("pallas" if jax.default_backend() == "tpu" else "tiles")
+    # r3 production config (bench.py/cli.py defaults): q32+c16 kernels,
+    # sort every 2nd substep
     cfg = StepConfig(
         neighbor_impl=impl,
         max_candidates=args.max_candidates,
-        max_candidates_sub=args.max_candidates_sub,
+        max_candidates_sub=max(args.max_candidates_sub, 192),
+        force_query_rows=32,
+        force_sub16=True,
+        density_sub16=True,
+        sort_interval=2,
     )
     sim = SPHSimulation(step_config=cfg)
     placement = PLACEMENTS.get(args.scene)
