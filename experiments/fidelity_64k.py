@@ -50,9 +50,11 @@ sim = dict(particles_count=N, particle_mass=0.05, simulation_time=3,
            target_fps=60, simulation_scale=0.1,
              constant_acceleration=dict(x=0, y=-9.8, z=0))
 params = derive_parameters(fluid, sim)
+# the r3 production config (bench.py defaults): q32+c16 kernels
 cfg = StepConfig(neighbor_impl="pallas", pallas_variant="nl",
-                 max_candidates=96, max_candidates_sub=128,
-                 max_candidates_hit=96)
+                 max_candidates=96, max_candidates_sub=192,
+                 max_candidates_hit=96, force_query_rows=32,
+                 force_sub16=True, density_sub16=True)
 
 state = init_state(params)
 dt = jnp.float32(params.max_dt)
@@ -105,19 +107,22 @@ c_lap = -945.0 / (32.0 * np.pi * h**9)
 c_spiky = -45.0 / (np.pi * h**6)
 c_visc = 45.0 / (np.pi * h**6)
 
-# ---- f64 density for ALL particles (chunked Gram-matrix pair sums:
-# r2 = |a|^2 + |b|^2 - 2 a.b in f64 — the 3-digit cancellation loss
-# still leaves ~1e-13 relative, far below the f32 path under test)
-rho = np.zeros(N)
-CH = 2048
-nrm = np.einsum("ij,ij->i", pos, pos)
-for s in range(0, N, CH):
-    g = pos[s : s + CH] @ pos.T  # (CH, N) dgemm
-    r2 = np.maximum(nrm[s : s + CH, None] + nrm[None, :] - 2.0 * g, 0.0)
-    t = np.maximum(h * h - r2, 0.0)
-    rho[s : s + CH] = mass * c_poly6 * (t**3).sum(axis=1)
-    if s == 0:
-        mark("density oracle: first chunk")
+# ---- f64 density for ALL particles. Exploit the kernel's compact
+# support with a KD-tree pair list (the earlier chunked 64k x 64k
+# Gram-matrix sweep was ~25 min of f64 traffic on this box's single
+# core — it blew the batch timeouts twice, r3_results.jsonl
+# fidelity-highest). Pair distances are evaluated in f64 directly.
+from scipy.spatial import cKDTree
+
+tree = cKDTree(pos)
+pairs = tree.query_pairs(h, output_type="ndarray")  # i < j, r < h
+mark(f"kdtree: {len(pairs)} pairs")
+pi, pj = pairs[:, 0], pairs[:, 1]
+r2p = ((pos[pi] - pos[pj]) ** 2).sum(axis=1)
+tp = np.maximum(h * h - r2p, 0.0) ** 3
+rho = np.full(N, mass * c_poly6 * h**6)  # self term (r = 0)
+np.add.at(rho, pi, mass * c_poly6 * tp)
+np.add.at(rho, pj, mass * c_poly6 * tp)
 mark("density oracle done")
 press = params.K * ((rho / params.fluid_density) ** 7 - 1.0)
 

@@ -74,15 +74,20 @@ MAX_PARTICLES_F32_ID = 1 << 24  # ids stored exactly as f32 values
 # supports only DEFAULT (one bf16 pass — truncates the operands to
 # 8-bit mantissas, ~4e-3 relative error: fails the 1e-4 parity budget,
 # caught by test_tpu_smoke on the chip) and HIGHEST (6-pass full f32).
-# "split3" emulates the missing middle tier: operands are split
-# in-kernel as f32 = hi(bf16) + lo and three DEFAULT passes
+# "split3" (the default) emulates the missing middle tier: operands
+# are split in-kernel as f32 = hi(bf16) + lo and three DEFAULT passes
 # (hi.hi + hi.lo + lo.hi) reconstruct ~2^-18 term accuracy at half
-# HIGHEST's MXU cost — but the force combine's x_i*sum(a) - sum(a x_j)
-# cancellation amplifies that by (block extent)/h, so split3 force
-# errors reach ~1e-4 relative: an opt-in trade, not the default.
+# HIGHEST's MXU cost. The force combine's x_i*sum(a) - sum(a x_j)
+# cancellation amplifies that by (block extent)/h; measured at bench
+# scale (64k settled dam-break vs the f64 oracle,
+# experiments/fidelity_64k.py, r3): accel RMS rel 1.6e-6 / max 2.0e-5
+# vs HIGHEST's 4.5e-7 / 3.1e-6 — both far inside the 1e-4 parity
+# budget, and split3 is ~6 ms/substep faster at 1M. Set
+# LIBCLSPH_TPU_DOT_MODE=highest for the full-f32 6-pass dots.
 # (The DENSITY dot always uses a 2-pass split: its sum has no
-# cancellation, so 2^-18 term error is unconditionally safe.)
-_DOT_MODE = os.environ.get("LIBCLSPH_TPU_DOT_MODE", "highest")
+# cancellation, so 2^-18 term error is unconditionally safe —
+# measured density RMS rel 9.7e-7 under both modes.)
+_DOT_MODE = os.environ.get("LIBCLSPH_TPU_DOT_MODE", "split3")
 
 
 def _reduce_dot(lhs, rhs, dims, lhs_exact=False, mode=None):
@@ -112,6 +117,26 @@ def _reduce_dot(lhs, rhs, dims, lhs_exact=False, mode=None):
     lhi = lhs.astype(jnp.bfloat16).astype(jnp.float32)
     llo = lhs - lhi
     return d(lhi, rhi) + (d(lhi, rlo) + d(llo, rhi))
+
+
+# pack interleave construction: "concat" (default) builds the
+# block-major (rows, F, width) form as a concatenation of reshaped
+# VIEWS of the flat field vectors — XLA writes each stripe directly in
+# the Pallas consumer's layout. The older "transpose" form
+# (stack -> reshape -> swapaxes) made XLA materialise the field-major
+# tensor and then relayout-copy it for the Pallas operand (~3.2 ms per
+# 32 MB query pack at 1M, xprof r3 copy-start.31). Knob kept for A/B.
+_PACK_BUILD = os.environ.get("LIBCLSPH_TPU_PACK_BUILD", "concat")
+
+
+def _interleave(fields, rows, width):
+    """[(rows*width,)] * F field vectors -> (rows, F, width)."""
+    if _PACK_BUILD == "transpose":
+        a = jnp.stack(fields, axis=0)
+        return a.reshape(len(fields), rows, width).swapaxes(0, 1)
+    return jnp.concatenate(
+        [f.reshape(rows, 1, width) for f in fields], axis=1
+    )
 
 
 class PlanePack(NamedTuple):
@@ -159,9 +184,7 @@ def make_planes(
     vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
 
     def pack(fields, col, div=1):
-        a = jnp.stack(fields, axis=0)  # (F, n)
-        blocks = nb * div
-        a = a.reshape(len(fields), blocks, block_size // div).swapaxes(0, 1)
+        a = _interleave(fields, nb * div, block_size // div)
         return a[..., None] if col else a
 
     return PlanePack(

@@ -41,6 +41,7 @@ from ...core.params import PrecomputedKernelValues, SimulationParameters
 from .neighbor import (
     MAX_PARTICLES_F32_ID,
     _chunked_call,
+    _interleave,
     _interpret_default,
     _query_chunk,
 )
@@ -81,13 +82,11 @@ def make_planes(
     vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
 
     def pack_q(fields):
-        a = jnp.stack(fields, axis=0)  # (F, n)
-        return a.reshape(len(fields), nb, block_size).swapaxes(0, 1)
+        return _interleave(fields, nb, block_size)
 
     def pack_c(fields):
-        a = jnp.stack(fields, axis=0)
-        a = a.reshape(len(fields), nb, s, SUB).swapaxes(0, 1)  # (nb, F, S, SUB)
-        return a[..., None]
+        a = _interleave(fields, nb, block_size)
+        return a.reshape(nb, len(fields), s, SUB)[..., None]
 
     return AsymPlanes(
         q_pos=pack_q([px, py, pz]),

@@ -49,6 +49,7 @@ from .neighbor import (
     MAX_PARTICLES_F32_ID,
     _density_core_rowout,
     _forces_core_rowout,
+    _interleave,
     _interpret_default,
 )
 
@@ -103,8 +104,7 @@ def make_query_planes(position, velocity, density, pressure, real, block_size,
     vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
 
     def pack(fields):
-        a = jnp.stack(fields, axis=0)  # (F, n)
-        return a.reshape(len(fields), nb, block_size).swapaxes(0, 1)[..., None]
+        return _interleave(fields, nb, block_size)[..., None]
 
     return pack([px, py, pz]), pack([px, py, pz, vx, vy, vz, pm, gidf])
 
@@ -150,8 +150,7 @@ def make_csub_packs(position, velocity, density, pressure, real,
 
     def pack(fields, pad_to=None):
         f = len(fields)
-        a = jnp.stack(fields, axis=0)  # (F, n)
-        a = a.reshape(f, nc, SUB).swapaxes(0, 1).reshape(nc, f * SUB)
+        a = _interleave(fields, nc, SUB).reshape(nc, f * SUB)
         if pad_to is not None and pad_to > f:
             a = jnp.pad(a, ((0, 0), (0, (pad_to - f) * SUB)))
             f = pad_to
@@ -899,8 +898,7 @@ def make_c16_force_pack(position, velocity, density, pressure, real,
         fields.append(gidf)
     nf = len(fields)
     pad_to = 16 if with_gid else 8
-    a = jnp.stack(fields, axis=0)  # (nf, n)
-    a = a.reshape(nf, nc, SUB16).swapaxes(0, 1).reshape(nc, nf * SUB16)
+    a = _interleave(fields, nc, SUB16).reshape(nc, nf * SUB16)
     if pad_to != nf:
         a = jnp.pad(a, ((0, 0), (0, (pad_to - nf) * SUB16)))
     dead = jnp.zeros((1, pad_to * SUB16), jnp.float32)
@@ -919,8 +917,7 @@ def make_c16_pos_pack(position, real, center=None):
         position = position - center
     realf = real.astype(jnp.float32)
     px, py, pz = position[:, 0], position[:, 1], position[:, 2]
-    a = jnp.stack([px, py, pz, realf], axis=0)  # (4, n)
-    a = a.reshape(4, nc, SUB16).swapaxes(0, 1).reshape(nc, 4 * SUB16)
+    a = _interleave([px, py, pz, realf], nc, SUB16).reshape(nc, 4 * SUB16)
     a = jnp.pad(a, ((0, 0), (0, 4 * SUB16)))  # 128 lanes
     dead = jnp.zeros((1, 8 * SUB16), jnp.float32)
     dead = dead.at[:, : 3 * SUB16].set(FAR)
@@ -1124,8 +1121,7 @@ def make_cparent_packs(position, velocity, density, pressure, real,
 
     def pack(fields):
         f = len(fields)
-        a = jnp.stack(fields, axis=0)  # (F, n)
-        a = a.reshape(f, nbc, block_size).swapaxes(0, 1)  # (nbc, F, B)
+        a = _interleave(fields, nbc, block_size)  # (nbc, F, B)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, f, block_size), 1)
         dead = jnp.where(lane < 3, FAR, 0.0)  # position rows first
         return jnp.concatenate([a, dead], axis=0)
