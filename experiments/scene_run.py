@@ -125,16 +125,15 @@ def main():
     import jax.numpy as jnp
 
     impl = args.impl or ("pallas" if jax.default_backend() == "tpu" else "tiles")
-    # r3 production config (bench.py/cli.py defaults): q32+c16 kernels,
-    # sort every 2nd substep
+    # The r2-proven scene config: q128 + hit compaction, engine
+    # autotune grows capacities as the water column deepens. The 1M
+    # cube-bench c16 defaults are WRONG here (measured r3: river 45.6
+    # s/frame under c16-all vs 11.6 at this config in r2 — deep/uneven
+    # columns overflow the 16-granular tables into global regrowth).
     cfg = StepConfig(
         neighbor_impl=impl,
         max_candidates=args.max_candidates,
-        max_candidates_sub=max(args.max_candidates_sub, 192),
-        force_query_rows=32,
-        force_sub16=True,
-        density_sub16=True,
-        sort_interval=2,
+        max_candidates_sub=args.max_candidates_sub,
     )
     sim = SPHSimulation(step_config=cfg)
     placement = PLACEMENTS.get(args.scene)

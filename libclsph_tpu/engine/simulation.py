@@ -97,6 +97,11 @@ class SPHSimulation:
         self.post_frame: Optional[Callback] = None
         self.device_view: Optional[DeviceView] = None
         self.step_config = step_config or StepConfig()
+        if self.step_config.cand_interval > 1:
+            raise ValueError(
+                "cand_interval > 1 is a bench-path feature for now; the "
+                "engine frame loop does not carry candidate state yet"
+            )
         self.capacity_retries = 0
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
         self.mesh = mesh

@@ -45,6 +45,7 @@ FLAG_EXCHANGE = 4  # ring halo_hops too small: a needed shard is out of reach
 FLAG_CAPACITY_SUB = 8  # refined subblock capacity (max_candidates_sub)
 FLAG_CAPACITY_HIT = 16  # hit-compacted force capacity (max_candidates_hit)
 FLAG_CAPACITY_T2 = 32  # two-tier overflow pool exhausted (tier2_frac)
+FLAG_CAND_STALE = 64  # reused candidate lists outran their slack margin
 # the capacity bits are reported separately so the engine's
 # autotune grows ONLY the overflowing table: r2's coupled doubling
 # re-grew every gather volume at once (2M measured: a block-cap
@@ -149,6 +150,24 @@ class StepConfig:
     # Not supported for the 'exact' impl (needs sorted codes) or the
     # sharded engine (Morton order is load-bearing for shard ownership).
     sort_interval: int = 1
+    # Rebuild the candidate machinery (block search + subblock refine)
+    # every k-th substep; off-substeps REUSE the carried refined lists
+    # (Verlet-list scheme). The build substep runs the search/refine
+    # with h inflated to (1 + cand_slack) * h, so the lists stay
+    # supersets of the true neighbourhood while the max relative pair
+    # displacement since the build is below cand_slack * h — guarded
+    # on device (FLAG_CAND_STALE: positions are anchored at build time
+    # and compared each reuse substep). The kernels keep the exact
+    # r < h cutoff, so reuse is physics-exact while the guard holds
+    # (supersets never change sums). The CFL dt bounds per-substep
+    # displacement by h/2 (a dt^2 + v dt = h/2), so the guard — not
+    # the slack — is the correctness backstop near impacts.
+    # v1 (bench path): nl variant at whole-block query rows, no tier2,
+    # reuse substeps must also skip the sort (ids index the sorted
+    # order) — align cand_interval with sort_interval. frame_jit /
+    # the engine do not consume this yet.
+    cand_interval: int = 1
+    cand_slack: float = 0.25  # refine dilation, fraction of h
     adaptive_dt: bool = True
     # frame_jit dispatch bound: a stiff impact can floor the adaptive
     # dt at DT_MIN (1e-5 s), blowing a frame up to ~1.7k substeps — an
@@ -239,11 +258,20 @@ def _density_forces_pallas(
     real: jnp.ndarray,
     params: SimulationParameters,
     config: StepConfig,
+    cand_in=None,
 ):
     """Fused Pallas kernels (ops/pallas/) behind the same candidate
-    machinery as the tiles path; variant picked by config.pallas_variant."""
+    machinery as the tiles path; variant picked by config.pallas_variant.
+
+    Returns a 5-tuple (density, pressure, accel, flags, cand_out);
+    ``cand_out`` is the carried candidate state for
+    StepConfig.cand_interval reuse (None for non-nl variants)."""
     if config.pallas_variant in ("nl", "asm"):
-        return _density_forces_pallas_nl(state, real, params, config)
+        return _density_forces_pallas_nl(
+            state, real, params, config, cand_in=cand_in
+        )
+    if cand_in is not None:
+        raise ValueError("cand_interval reuse requires the nl variant")
     if config.pallas_variant == "asym":
         from ..ops.pallas import neighbor_asym as pallas_neighbor
     else:
@@ -294,7 +322,10 @@ def _density_forces_pallas(
     accel = pallas_neighbor.fused_forces(
         planes, cand, count, params, terms, real, density
     )
-    return density, pressure, accel, overflow.astype(jnp.int32) * FLAG_CAPACITY
+    return (
+        density, pressure, accel,
+        overflow.astype(jnp.int32) * FLAG_CAPACITY, None,
+    )
 
 
 def _density_forces_pallas_nl(
@@ -302,6 +333,7 @@ def _density_forces_pallas_nl(
     real: jnp.ndarray,
     params: SimulationParameters,
     config: StepConfig,
+    cand_in=None,
 ):
     """Round-2 production path: block candidates refined to 32-particle
     subblocks, data pre-gathered into dense lane-packed tiles
@@ -322,18 +354,6 @@ def _density_forces_pallas_nl(
             jnp.min(real_pos, axis=0) + jnp.max(real_pos, axis=0)
         )
 
-    blocked = tiles_ops.make_blocked(
-        state.position,
-        state.velocity,
-        state.density,
-        state.pressure,
-        real,
-        cfg.block_size,
-    )
-    bmin, bmax = tiles_ops.split_block_bounds(blocked.position, blocked.real)
-    cand, count, ovf = tiles_ops.candidate_blocks_auto(
-        bmin, bmax, params.h, cfg.max_candidates
-    )
     q_rows = min(config.nl_query_rows, cfg.block_size)
     q_rep = cfg.block_size // q_rows
     asm = config.pallas_variant == "asm"
@@ -352,60 +372,98 @@ def _density_forces_pallas_nl(
             "rows with force_query_rows=32 + force_sub16 + hit_compact, "
             "and no tier2 routing (tier-2 force panels are 32-wide)"
         )
+    reuse_on = config.cand_interval > 1
+    if reuse_on and (asm or q_rep > 1 or use_t2):
+        raise ValueError(
+            "cand_interval reuse requires the plain nl variant at "
+            "whole-block query rows without tier2 routing"
+        )
+    # build-substep search/refine dilation (see StepConfig.cand_interval)
+    h_search = (
+        params.h * (1.0 + config.cand_slack) if reuse_on else params.h
+    )
     sub = cfg.block_size // (nl.SUB16 if dsub16 else nl.SUB)
     cap_sub = config.max_candidates_sub * (
         config.tier2_mult if use_t2 else 1
     )
     # truncation-safe self range: the query's own subblock ids are
     # [parent_block*sub, parent_block*sub + sub) (tiles._self_priority_sort)
-    nb_q = blocked.position.shape[0] * q_rep
+    nb_q = (real.shape[0] // cfg.block_size) * q_rep
     self_lo = (jnp.arange(nb_q, dtype=jnp.int32) // q_rep) * sub
-    if q_rep > 1:
-        # finer query candidate lists; each child block reuses its
-        # parent's coarse candidate list (row repeat)
-        cand_q = jnp.repeat(cand, q_rep, axis=0)
-        count_q = jnp.repeat(count, q_rep, axis=0)
-    else:
-        cand_q, count_q = cand, count
-    if config.refine_mode == "exact":
-        # gap-split query boxes (the bmin/bmax already computed for the
-        # block search): measured at 1M vs contiguous 32-row sub-boxes,
-        # gap splitting cuts the admitted volume 2519 -> 2084
-        # slots/particle and — decisive for capacity — the TAIL from
-        # 188 to 104 subblocks (contiguous quarter boxes straddle the
-        # same Morton jumps split_block_bounds was built to absorb;
-        # see experiments/volume_probe.py)
-        if q_rep > 1:
-            nq = blocked.position.shape[0] * q_rep
-            qlo, qhi = tiles_ops.split_block_bounds(
-                blocked.position.reshape(nq, q_rows, 3),
-                blocked.real.reshape(nq, q_rows),
-            )
-        else:
-            qlo, qhi = bmin, bmax
-        cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates_exact(
-            cand_q, count_q, qlo, qhi, blocked.position, params.h, sub,
-            cap_sub, self_lo=self_lo, self_width=sub,
+    if cand_in is None:
+        blocked = tiles_ops.make_blocked(
+            state.position,
+            state.velocity,
+            state.density,
+            state.pressure,
+            real,
+            cfg.block_size,
         )
-    else:
-        sub_lo, sub_hi = tiles_ops.subblock_bounds(
-            blocked.position, blocked.real, sub
+        bmin, bmax = tiles_ops.split_block_bounds(
+            blocked.position, blocked.real
+        )
+        cand, count, ovf = tiles_ops.candidate_blocks_auto(
+            bmin, bmax, h_search, cfg.max_candidates
         )
         if q_rep > 1:
-            qlo, qhi = tiles_ops.subblock_bounds(
-                blocked.position, blocked.real, q_rep
-            )
-            qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+            # finer query candidate lists; each child block reuses its
+            # parent's coarse candidate list (row repeat)
+            cand_q = jnp.repeat(cand, q_rep, axis=0)
+            count_q = jnp.repeat(count, q_rep, axis=0)
         else:
-            qlo, qhi = bmin, bmax
-        cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
-            cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
-            cap_sub, self_lo=self_lo, self_width=sub,
+            cand_q, count_q = cand, count
+        if config.refine_mode == "exact":
+            # gap-split query boxes (the bmin/bmax already computed for
+            # the block search): measured at 1M vs contiguous 32-row
+            # sub-boxes, gap splitting cuts the admitted volume
+            # 2519 -> 2084 slots/particle and — decisive for capacity —
+            # the TAIL from 188 to 104 subblocks (contiguous quarter
+            # boxes straddle the same Morton jumps split_block_bounds
+            # was built to absorb; see experiments/volume_probe.py)
+            if q_rep > 1:
+                nq = blocked.position.shape[0] * q_rep
+                qlo, qhi = tiles_ops.split_block_bounds(
+                    blocked.position.reshape(nq, q_rows, 3),
+                    blocked.real.reshape(nq, q_rows),
+                )
+            else:
+                qlo, qhi = bmin, bmax
+            cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates_exact(
+                cand_q, count_q, qlo, qhi, blocked.position, h_search, sub,
+                cap_sub, self_lo=self_lo, self_width=sub,
+            )
+        else:
+            sub_lo, sub_hi = tiles_ops.subblock_bounds(
+                blocked.position, blocked.real, sub
+            )
+            if q_rep > 1:
+                qlo, qhi = tiles_ops.subblock_bounds(
+                    blocked.position, blocked.real, q_rep
+                )
+                qlo, qhi = qlo[:, None, :], qhi[:, None, :]
+            else:
+                qlo, qhi = bmin, bmax
+            cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
+                cand_q, count_q, qlo, qhi, sub_lo, sub_hi, h_search, sub,
+                cap_sub, self_lo=self_lo, self_width=sub,
+            )
+        flags = (
+            ovf.astype(jnp.int32) * FLAG_CAPACITY
+            + ovf2.astype(jnp.int32) * FLAG_CAPACITY_SUB
         )
-    flags = (
-        ovf.astype(jnp.int32) * FLAG_CAPACITY
-        + ovf2.astype(jnp.int32) * FLAG_CAPACITY_SUB
-    )
+        pos_anchor = state.position
+    else:
+        # reuse the carried lists (StepConfig.cand_interval): they were
+        # built against pos_anchor with threshold h_search = (1+slack)h;
+        # a pair can have closed by at most 2 * max displacement since
+        # the anchor, so they remain supersets of the true r < h
+        # neighbourhood while 2 * D_max <= slack * h.
+        cand_sub, count_sub, pos_anchor = cand_in
+        d2 = jnp.sum((state.position - pos_anchor) ** 2, axis=1)
+        d2max = jnp.max(jnp.where(real, d2, 0.0))
+        stale = 4.0 * d2max > (config.cand_slack * params.h) ** 2
+        flags = stale.astype(jnp.int32) * FLAG_CAND_STALE
+    cand_out = (cand_sub, count_sub, pos_anchor) if reuse_on else None
 
     if use_t2:
         mass = params.particle_mass
@@ -442,7 +500,7 @@ def _density_forces_pallas_nl(
             real, params, terms, config, r2_mxu,
             cand_sub, count_sub, self_lo, sub, flags,
             make_c16_pack=make_c16_pack,
-        )
+        ) + (None,)
 
     mass = params.particle_mass
     make_cpacks = nl.make_cparent_packs if asm else nl.make_csub_packs
@@ -558,7 +616,7 @@ def _density_forces_pallas_nl(
             q_force, c_force_pack, cand_f, count_f, params, terms, real,
             density, r2_mxu=r2_mxu,
         )
-    return density, pressure, accel, flags
+    return density, pressure, accel, flags, cand_out
 
 
 def nl_two_tier_passes(
@@ -781,8 +839,12 @@ def substep(
     scene: Optional[collisions_ops.DeviceScene],
     config: StepConfig,
     do_sort=True,
+    cand_in=None,
 ):
-    """One SPH substep. Returns (new_state, dt_next, flags).
+    """One SPH substep. Returns (new_state, dt_next, flags) — plus a
+    trailing ``cand_out`` carry when config.cand_interval > 1 (pass it
+    back as ``cand_in`` on reuse substeps, which must also statically
+    skip the sort; see StepConfig.cand_interval).
 
     ``do_sort``: True (default) re-sorts by Morton code; False (static)
     or a traced bool scalar (frame_jit with config.sort_interval > 1)
@@ -806,6 +868,11 @@ def substep(
     stable IDs can track the permutation via ``state.grid_index``.
     """
     n = params.particles_count
+    if cand_in is not None and do_sort is not False:
+        raise ValueError(
+            "candidate reuse substeps must statically skip the sort "
+            "(do_sort=False): the carried ids index the sorted order"
+        )
 
     # ---- grid bounds + cell assignment (on-device findMinMaxPosition)
     grid = grid_ops.compute_bounds(state.position, params)
@@ -856,14 +923,19 @@ def substep(
             )
 
     # ---- density + pressure, forces
-    if config.neighbor_impl in ("tiles", "pallas"):
+    cand_out = None
+    if config.neighbor_impl == "pallas":
         real = jnp.arange(state.n, dtype=jnp.int32) < jnp.int32(n)
-        impl = (
-            _density_forces_tiles
-            if config.neighbor_impl == "tiles"
-            else _density_forces_pallas
+        density, pressure, accel, cap_flags, cand_out = _density_forces_pallas(
+            state, real, params, config, cand_in=cand_in
         )
-        density, pressure, accel, cap_flags = impl(state, real, params, config)
+    elif config.neighbor_impl == "tiles":
+        if cand_in is not None:
+            raise ValueError("cand_interval reuse requires the pallas impl")
+        real = jnp.arange(state.n, dtype=jnp.int32) < jnp.int32(n)
+        density, pressure, accel, cap_flags = _density_forces_tiles(
+            state, real, params, config
+        )
     else:
         density, pressure, accel, cap_flags = _density_forces_exact(
             state, sorted_codes, params, config
@@ -901,6 +973,8 @@ def substep(
         final_state, dt_out = first_state, first_dt
 
     flags = cap_flags + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
+    if config.cand_interval > 1:
+        return final_state, dt_out, flags, cand_out
     return final_state, dt_out, flags
 
 
@@ -909,6 +983,18 @@ def substep(
 @partial(jax.jit, static_argnames=("params", "config", "do_sort"))
 def substep_jit(state, dt, params, scene, config, do_sort=True):
     return substep(state, dt, params, scene, config, do_sort=do_sort)
+
+
+@partial(jax.jit, static_argnames=("params", "config", "do_sort"))
+def substep_reuse_jit(state, dt, params, scene, config, cand_in,
+                      do_sort=False):
+    """Reuse-substep entry point for StepConfig.cand_interval > 1:
+    pass the ``cand_out`` carry of the previous substep (built by
+    substep_jit on a rebuild substep, which returns the 4-tuple when
+    cand_interval > 1)."""
+    return substep(
+        state, dt, params, scene, config, do_sort=do_sort, cand_in=cand_in
+    )
 
 
 @partial(jax.jit, static_argnames=("params", "config"))
@@ -922,6 +1008,12 @@ def frame_jit(state, dt, timeleft, params, scene, config):
     timeleft, flags); the engine re-dispatches while timeleft > 0.
     ``flags`` ORs the per-substep status bitfields.
     """
+    if config.cand_interval > 1:
+        raise ValueError(
+            "cand_interval > 1 is a bench-path feature (substep_jit + "
+            "substep_reuse_jit); the engine frame loop does not carry "
+            "candidate state yet"
+        )
     cap = jnp.int32(config.substeps_per_dispatch)
 
     def cond(carry):

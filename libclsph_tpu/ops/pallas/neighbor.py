@@ -74,27 +74,42 @@ MAX_PARTICLES_F32_ID = 1 << 24  # ids stored exactly as f32 values
 # supports only DEFAULT (one bf16 pass — truncates the operands to
 # 8-bit mantissas, ~4e-3 relative error: fails the 1e-4 parity budget,
 # caught by test_tpu_smoke on the chip) and HIGHEST (6-pass full f32).
-# "split3" (the default) emulates the missing middle tier: operands
-# are split in-kernel as f32 = hi(bf16) + lo and three DEFAULT passes
-# (hi.hi + hi.lo + lo.hi) reconstruct ~2^-18 term accuracy at half
-# HIGHEST's MXU cost. The force combine's x_i*sum(a) - sum(a x_j)
-# cancellation amplifies that by (block extent)/h; measured at bench
-# scale (64k settled dam-break vs the f64 oracle,
-# experiments/fidelity_64k.py, r3): accel RMS rel 1.6e-6 / max 2.0e-5
-# vs HIGHEST's 4.5e-7 / 3.1e-6 — both far inside the 1e-4 parity
-# budget, and split3 is ~6 ms/substep faster at 1M. Set
-# LIBCLSPH_TPU_DOT_MODE=highest for the full-f32 6-pass dots.
+# "split3" (the TPU default since r3) emulates the missing middle
+# tier: operands are split in-kernel as f32 = hi(bf16) + lo and three
+# DEFAULT passes (hi.hi + hi.lo + lo.hi) reconstruct ~2^-18 term
+# accuracy at half HIGHEST's MXU cost. The force combine's
+# x_i*sum(a) - sum(a x_j) cancellation amplifies that by
+# (block extent)/h; measured at bench scale (64k settled dam-break vs
+# the f64 oracle, experiments/fidelity_64k.py, r3): accel RMS rel
+# 1.6e-6 / max 2.0e-5 vs HIGHEST's 4.5e-7 / 3.1e-6 — both far inside
+# the 1e-4 parity budget, and split3 is ~6 ms/substep faster at 1M.
+# OFF TPU the default stays "highest": in interpret mode the bf16
+# splits are pure extra truncation with zero hardware payoff, and the
+# CPU suite's pallas-vs-tiles equivalence tolerances stay strict.
+# split3's own numerics are pinned by the fidelity experiment, the
+# on-chip budget test (test_tpu_smoke.test_mosaic_split3_production_
+# budget) and the host-side truncation-budget test (test_nl_layout).
+# Set LIBCLSPH_TPU_DOT_MODE to force either mode anywhere.
 # (The DENSITY dot always uses a 2-pass split: its sum has no
 # cancellation, so 2^-18 term error is unconditionally safe —
 # measured density RMS rel 9.7e-7 under both modes.)
-_DOT_MODE = os.environ.get("LIBCLSPH_TPU_DOT_MODE", "split3")
+_DOT_MODE = os.environ.get("LIBCLSPH_TPU_DOT_MODE")
+
+
+def _dot_mode():
+    global _DOT_MODE
+    if _DOT_MODE is None:
+        _DOT_MODE = (
+            "split3" if jax.default_backend() == "tpu" else "highest"
+        )
+    return _DOT_MODE
 
 
 def _reduce_dot(lhs, rhs, dims, lhs_exact=False, mode=None):
     """f32-accurate dot_general (see _DOT_MODE note above).
     ``lhs_exact``: lhs is bf16-representable (e.g. ones), so its lo
     half is zero and the split needs only two passes."""
-    mode = _DOT_MODE if mode is None else mode
+    mode = _dot_mode() if mode is None else mode
     if mode == "highest":
         return jax.lax.dot_general(
             lhs, rhs, dims,

@@ -45,10 +45,84 @@ def _state_and_params(n=4096, seed=0):
     return state, params
 
 
+def _st_unstable_rows(pos, rho, params, band=0.01):
+    """Rows whose colour-field |normal| sits within ``band`` (relative)
+    of the surface-tension threshold. The ST branch (forces.cl's
+    ``length(normal) > surface_tension_threshold``) is DISCONTINUOUS
+    there, so any fp perturbation — the split3 reduction dots (the
+    production default since r3), summation-order differences between
+    kernel variants or shard exchanges — flips it and the accel jumps
+    by the whole ST term. Strict accel comparisons exclude these rows
+    (and assert they are rare); experiments/fidelity_64k.py bounds the
+    continuous-path error itself against a float64 oracle."""
+    from scipy.spatial import cKDTree
+
+    pos = np.asarray(pos, np.float64)
+    rho = np.asarray(rho, np.float64)
+    h = float(params.h)
+    mass = float(params.particle_mass)
+    c_grad = -945.0 / (32.0 * np.pi * h**9)
+    n = len(pos)
+    pairs = cKDTree(pos).query_pairs(h, output_type="ndarray")
+    i, j = pairs[:, 0], pairs[:, 1]
+    rv = pos[i] - pos[j]
+    t = np.maximum(h * h - (rv**2).sum(1), 0.0) ** 2
+    normal = np.zeros((n, 3))
+    np.add.at(normal, i, (mass / rho[j] * c_grad * t)[:, None] * rv)
+    np.add.at(normal, j, (mass / rho[i] * c_grad * t)[:, None] * -rv)
+    nlen = np.linalg.norm(normal, axis=1)
+    thr = float(params.surface_tension_threshold)
+    return np.abs(nlen - thr) <= band * thr
+
+
+def _assert_accel_match(a_ref, a_test, pos, rho, params, atol_frac=2e-4):
+    """assert_allclose on accelerations, tolerating branch flips of
+    the discontinuous surface-tension term on rows provably inside the
+    threshold margin (see _st_unstable_rows). ``pos``/``rho`` must be
+    row-aligned with the accel arrays."""
+    a_ref = np.asarray(a_ref)
+    a_test = np.asarray(a_test)
+    atol = atol_frac * np.abs(a_ref).max()
+    bad = np.abs(a_ref - a_test).max(axis=1) > atol
+    if not bad.any():
+        return
+    unstable = _st_unstable_rows(pos, rho, params)
+    assert unstable.mean() < 0.01, (
+        f"{unstable.mean():.2%} of rows sit in the ST threshold band — "
+        "the comparison would be vacuous"
+    )
+    stray = bad & ~unstable
+    assert not stray.any(), (
+        f"{int(stray.sum())} rows differ beyond atol={atol:.3e} outside "
+        f"the ST threshold band (max diff "
+        f"{np.abs(a_ref - a_test)[stray].max():.3e})"
+    )
+
+
+@pytest.fixture
+def highest_dots(monkeypatch):
+    """Force the 6-pass f32 reduction dots for the strict structural
+    comparisons. split3 — the production default since r3 — carries
+    ~1e-3 relative force error on this suite's ADVERSARIAL random
+    clouds (uniform overlaps -> K(rho/rho0)^7 pressures and violent
+    pressure-sum cancellation), which would swamp the 2e-4 structural
+    tolerance; on settled fluid its measured error is 2e-5 max
+    (experiments/fidelity_64k.py). Production split3 keeps its own
+    Mosaic-compiled budget test (test_mosaic_split3_production_budget).
+
+    Returns config-kwarg overrides that bust the substep_jit cache:
+    _DOT_MODE is a trace-time module global, not part of the cache key,
+    so an unused-by-substep static field forces a fresh trace."""
+    from libclsph_tpu.ops.pallas import neighbor
+
+    monkeypatch.setattr(neighbor, "_DOT_MODE", "highest")
+    return dict(substeps_per_dispatch=63)
+
+
 @pytest.mark.parametrize(
     "variant,q_rows", [("nl", 128), ("nl", 32), ("row", 128), ("asm", 128)]
 )
-def test_mosaic_kernels_match_tiles(variant, q_rows):
+def test_mosaic_kernels_match_tiles(variant, q_rows, highest_dots):
     """Compile (interpret=False on TPU) and compare one substep's
     density/accel against the XLA tiles pass."""
     from libclsph_tpu.engine.step import StepConfig, substep_jit
@@ -59,16 +133,16 @@ def test_mosaic_kernels_match_tiles(variant, q_rows):
     st, _, ft = substep_jit(state, dt, params, None, cfg_t)
     cfg_p = StepConfig(
         neighbor_impl="pallas", pallas_variant=variant,
-        nl_query_rows=q_rows, adaptive_dt=False,
+        nl_query_rows=q_rows, adaptive_dt=False, **highest_dots,
     )
     sp, _, fp = substep_jit(state, dt, params, None, cfg_p)
     assert not int(ft) and not int(fp)
     d1 = np.asarray(st.density)
     d2 = np.asarray(sp.density)
     np.testing.assert_allclose(d1, d2, rtol=2e-5)
-    a1 = np.asarray(st.acceleration)
-    a2 = np.asarray(sp.acceleration)
-    np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+    _assert_accel_match(
+        st.acceleration, sp.acceleration, st.position, st.density, params
+    )
 
 
 def test_exact_matches_tiles_on_chip():
@@ -116,7 +190,7 @@ def test_exact_matches_tiles_on_chip():
     ],
     ids=["q32-wide", "q32-tier2", "q32-c16", "q32-c16-all"],
 )
-def test_mosaic_q32_regimes_match_tiles(extra):
+def test_mosaic_q32_regimes_match_tiles(extra, highest_dots):
     """The q32 force pass's Mosaic compile at capacities/configs the
     base smoke case never reaches (flag planes > 1 row; two-tier
     routing)."""
@@ -128,16 +202,16 @@ def test_mosaic_q32_regimes_match_tiles(extra):
     st, _, ft = substep_jit(state, dt, params, None, cfg_t)
     cfg_p = StepConfig(
         neighbor_impl="pallas", pallas_variant="nl",
-        force_query_rows=32, adaptive_dt=False, **extra,
+        force_query_rows=32, adaptive_dt=False, **extra, **highest_dots,
     )
     sp, _, fp = substep_jit(state, dt, params, None, cfg_p)
     assert not int(ft) and not int(fp)
     np.testing.assert_allclose(
         np.asarray(st.density), np.asarray(sp.density), rtol=2e-5
     )
-    a1 = np.asarray(st.acceleration)
-    a2 = np.asarray(sp.acceleration)
-    np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+    _assert_accel_match(
+        st.acceleration, sp.acceleration, st.position, st.density, params
+    )
 
 
 @pytest.mark.parametrize("exchange", ["all_gather", "ring"])
@@ -194,12 +268,17 @@ def test_mosaic_sharded_step_matches_single_chip(exchange):
         np.asarray(ss.density)[real][os_],
         rtol=2e-5,
     )
-    a1 = np.asarray(s1.acceleration)[o1]
-    a2 = np.asarray(ss.acceleration)[real][os_]
-    np.testing.assert_allclose(a1, a2, atol=5e-4 * np.abs(a1).max())
+    _assert_accel_match(
+        np.asarray(s1.acceleration)[o1],
+        np.asarray(ss.acceleration)[real][os_],
+        np.asarray(s1.position)[o1],
+        np.asarray(s1.density)[o1],
+        params,
+        atol_frac=5e-4,
+    )
 
 
-def test_mosaic_hierarchical_regime_matches_tiles():
+def test_mosaic_hierarchical_regime_matches_tiles(highest_dots):
     """The 1M-regime machinery — hierarchical candidate search,
     exact-refine flat pack at scale, hit compaction — Mosaic-compiled
     at 256k particles and asserted against the tiles pass (VERDICT r2
@@ -219,15 +298,49 @@ def test_mosaic_hierarchical_regime_matches_tiles():
     cfg_p = StepConfig(
         neighbor_impl="pallas", pallas_variant="nl", max_candidates=96,
         max_candidates_sub=128, max_candidates_hit=96, adaptive_dt=False,
+        **highest_dots,
     )
     sp, _, fp = substep_jit(state, dt, params, None, cfg_p)
     assert not int(ft) and not int(fp)
     np.testing.assert_allclose(
         np.asarray(st.density), np.asarray(sp.density), rtol=2e-5
     )
-    a1 = np.asarray(st.acceleration)
-    a2 = np.asarray(sp.acceleration)
-    np.testing.assert_allclose(a1, a2, atol=2e-4 * np.abs(a1).max())
+    _assert_accel_match(
+        st.acceleration, sp.acceleration, st.position, st.density, params
+    )
+
+
+def test_mosaic_split3_production_budget():
+    """The PRODUCTION dot mode (split3 bf16 hi/lo emulation, the
+    default since r3) Mosaic-compiled at the production q32+c16 config
+    and bounded against tiles on the adversarial random cloud.
+    split3's per-term error is ~2^-18, amplified by the pressure-sum
+    cancellation on random-overlap K(rho/rho0)^7 pressures to ~1e-3
+    relative — the budget here. A bf16 TRUNCATION bug (the r2 Mosaic
+    regression class) is ~4e-3 per TERM before amplification and blows
+    this budget by more than an order of magnitude. On settled fluid
+    split3's measured error is 2e-5 max (experiments/fidelity_64k.py).
+    """
+    from libclsph_tpu.engine.step import StepConfig, substep_jit
+
+    state, params = _state_and_params()
+    dt = jnp.float32(1e-9)
+    cfg_t = StepConfig(neighbor_impl="tiles", adaptive_dt=False)
+    st, _, ft = substep_jit(state, dt, params, None, cfg_t)
+    cfg_p = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        force_query_rows=32, force_sub16=True, density_sub16=True,
+        max_candidates_sub=144, adaptive_dt=False,
+    )
+    sp, _, fp = substep_jit(state, dt, params, None, cfg_p)
+    assert not int(ft) and not int(fp)
+    np.testing.assert_allclose(
+        np.asarray(st.density), np.asarray(sp.density), rtol=2e-5
+    )
+    _assert_accel_match(
+        st.acceleration, sp.acceleration, st.position, st.density, params,
+        atol_frac=2.5e-3,
+    )
 
 
 def test_mosaic_fused_radix_sort_matches_lax():
