@@ -126,10 +126,11 @@ def main():
 
     impl = args.impl or ("pallas" if jax.default_backend() == "tpu" else "tiles")
     # The r2-proven scene config: q128 + hit compaction, engine
-    # autotune grows capacities as the water column deepens. The 1M
-    # cube-bench c16 defaults are WRONG here (measured r3: river 45.6
-    # s/frame under c16-all vs 11.6 at this config in r2 — deep/uneven
-    # columns overflow the 16-granular tables into global regrowth).
+    # autotune grows capacities as the water column deepens. Measured
+    # r3 (native .geo writer built, uncontended host): river 8.22
+    # s/frame at 1M. The 1M cube-bench c16 defaults are unproven for
+    # deep/uneven columns (a 45.6 s/frame c16 row was confounded by
+    # the NumPy-serializer fallback — build native/ first).
     cfg = StepConfig(
         neighbor_impl=impl,
         max_candidates=args.max_candidates,
