@@ -122,6 +122,15 @@ def main():
         # reuse substeps must not re-sort (ids index the sorted order);
         # aligning the intervals keeps the schedule simple
         sys.exit("--cand-interval must divide --sort-interval")
+    if cfg.cand_interval > 1 and (
+        cfg.neighbor_impl != "pallas" or cfg.pallas_variant != "nl"
+        or cfg.nl_query_rows < cfg.block_size or cfg.tier2_frac > 0
+    ):
+        import dataclasses as _dc
+
+        # candidate reuse is a perf feature of the production nl shape;
+        # quietly rebuild every substep on other shapes
+        cfg = _dc.replace(cfg, cand_interval=1)
 
     scene_dev = None
     if args.scene != "none":

@@ -135,6 +135,9 @@ def main():
         neighbor_impl=impl,
         max_candidates=args.max_candidates,
         max_candidates_sub=args.max_candidates_sub,
+        sort_interval=2,
+        cand_interval=2,  # Verlet reuse (device-guarded, engine re-runs
+        # the frame with doubled slack if the guard fires)
     )
     sim = SPHSimulation(step_config=cfg)
     placement = PLACEMENTS.get(args.scene)

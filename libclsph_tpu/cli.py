@@ -83,6 +83,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="re-sort particles every k-th substep (single-chip only)",
     )
     ap.add_argument(
+        "--cand-interval", type=int, default=2,
+        help="rebuild candidate lists every k-th substep (Verlet-list "
+        "reuse; device-guarded, single-chip only; must divide "
+        "--sort-interval)",
+    )
+    ap.add_argument(
+        "--cand-slack", type=float, default=0.25,
+        help="candidate-reuse refine dilation as a fraction of h",
+    )
+    ap.add_argument(
         "--confirm", action="store_true",
         help="ask for confirmation before simulating (reference behaviour)",
     )
@@ -136,6 +146,8 @@ def main(argv=None) -> int:
         density_sub16=args.density_sub16,
         tier2_frac=args.tier2_frac,
         sort_interval=args.sort_interval,
+        cand_interval=args.cand_interval,
+        cand_slack=args.cand_slack,
     )
     if args.mesh and args.sort_interval != 1:
         if args.sort_interval != 2:  # explicit non-default: hard error
@@ -144,6 +156,23 @@ def main(argv=None) -> int:
                   file=sys.stderr)
             return -1
         cfg = dataclasses.replace(cfg, sort_interval=1)
+    if args.mesh and args.cand_interval != 1:
+        if args.cand_interval != 2:  # explicit non-default: hard error
+            print("--cand-interval > 1 is unsupported with --mesh "
+                  "(the sharded step does not carry candidate state)",
+                  file=sys.stderr)
+            return -1
+        cfg = dataclasses.replace(cfg, cand_interval=1)
+    if cfg.cand_interval > 1 and cfg.sort_interval % cfg.cand_interval:
+        print("--cand-interval must divide --sort-interval", file=sys.stderr)
+        return -1
+    if cfg.cand_interval > 1 and (
+        cfg.neighbor_impl != "pallas" or cfg.pallas_variant != "nl"
+        or cfg.nl_query_rows < cfg.block_size or cfg.tier2_frac > 0
+    ):
+        # candidate reuse is a perf feature of the production nl shape;
+        # quietly rebuild every substep on other shapes
+        cfg = dataclasses.replace(cfg, cand_interval=1)
     mesh = None
     if args.mesh:
         import jax

@@ -41,6 +41,7 @@ from ..ops import collisions as collisions_ops
 from ..scene.scene import Scene
 from ..utils.logging import get_logger
 from .step import (
+    FLAG_CAND_STALE,
     FLAG_CAPACITY,
     FLAG_CAPACITY_HIT,
     FLAG_CAPACITY_SUB,
@@ -97,10 +98,10 @@ class SPHSimulation:
         self.post_frame: Optional[Callback] = None
         self.device_view: Optional[DeviceView] = None
         self.step_config = step_config or StepConfig()
-        if self.step_config.cand_interval > 1:
+        if self.step_config.cand_interval > 1 and mesh is not None:
             raise ValueError(
-                "cand_interval > 1 is a bench-path feature for now; the "
-                "engine frame loop does not carry candidate state yet"
+                "cand_interval > 1 is single-chip only: the sharded "
+                "step does not carry candidate state yet"
             )
         self.capacity_retries = 0
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
@@ -252,10 +253,32 @@ class SPHSimulation:
                 "neighbour this one is more than halo_hops ring hops away; "
                 "increase halo_hops or use exchange='all_gather'"
             )
+        rerun = False
         if f & FLAGS_ALL_CAPACITY:
             self._grow_capacity(f)
-            return True
-        return False
+            rerun = True
+        if f & FLAG_CAND_STALE:
+            # reused candidate lists outran their slack margin mid-
+            # frame: the flagged substep may have missed pairs, so the
+            # frame re-runs from its saved state with a doubled margin
+            # (same exactness protocol as a capacity overflow)
+            self.capacity_retries += 1
+            if self.capacity_retries > MAX_CAPACITY_RETRIES:
+                raise RuntimeError(
+                    "candidate-reuse slack keeps overflowing; set "
+                    "cand_interval=1 for this workload"
+                )
+            cfg = self.step_config
+            self.step_config = dataclasses.replace(
+                cfg, cand_slack=cfg.cand_slack * 2
+            )
+            log.warning(
+                "candidate reuse outran its slack margin - growing "
+                "cand_slack to %g and re-running frame",
+                self.step_config.cand_slack,
+            )
+            rerun = True
+        return rerun
 
     def _save(self, saver: AsyncSaver, arrays: dict):
         p = self.parameters
@@ -490,9 +513,14 @@ class SPHSimulation:
                         if self.pre_frame(arrays, p, False):
                             state = self._upload(arrays)
                     while True:
-                        new_state, dt_dev, flags = substep_jit(
+                        # the slow (per-substep callback) path rebuilds
+                        # candidates every substep — host callbacks can
+                        # mutate positions between substeps, which would
+                        # silently stale any carried tables
+                        out = substep_jit(
                             state, dt, p, self.device_scene, self.step_config
                         )
+                        new_state, dt_dev, flags = out[:3]
                         if not self._needs_rerun(flags):
                             state = new_state
                             break

@@ -1008,19 +1008,70 @@ def frame_jit(state, dt, timeleft, params, scene, config):
     timeleft, flags); the engine re-dispatches while timeleft > 0.
     ``flags`` ORs the per-substep status bitfields.
     """
-    if config.cand_interval > 1:
-        raise ValueError(
-            "cand_interval > 1 is a bench-path feature (substep_jit + "
-            "substep_reuse_jit); the engine frame loop does not carry "
-            "candidate state yet"
-        )
     cap = jnp.int32(config.substeps_per_dispatch)
+    interval = int(config.sort_interval)
+    ci = int(config.cand_interval)
+    if ci > 1:
+        # candidate reuse inside the device loop: substep n rebuilds
+        # the candidate machinery when n % ci == 0 and reuses the
+        # carried tables otherwise (lax.cond — both programs compile,
+        # one executes per substep). Reuse substeps must not re-sort
+        # (ids index the sorted order), so re-sorts must coincide with
+        # rebuilds.
+        if interval % ci:
+            raise ValueError(
+                "sort_interval must be a multiple of cand_interval "
+                "(re-sorts must coincide with candidate rebuilds)"
+            )
+        np_ = tiles_ops.padded_count(
+            params.particles_count, config.block_size
+        )
+        # dummy carry for iteration 0 (n=0 always rebuilds): shapes
+        # match _density_forces_pallas_nl's cand_out at this config
+        tables0 = (
+            jnp.zeros((np_ // config.block_size,
+                       config.max_candidates_sub), jnp.int32),
+            jnp.zeros((np_ // config.block_size,), jnp.int32),
+            jnp.zeros((np_, 3), jnp.float32),
+        )
+
+        def cond(carry):
+            _, _, timeleft, _, n, _ = carry
+            return (timeleft > 0.0) & (n < cap)
+
+        def body(carry):
+            st, dt_cur, timeleft, flags, n, tables = carry
+
+            def run_build(op):
+                s, d = op
+                do_sort = True if interval <= 1 else (n % interval == 0)
+                return substep(
+                    s, d, params, scene, config, do_sort=do_sort
+                )
+
+            def run_reuse(op):
+                s, d = op
+                return substep(
+                    s, d, params, scene, config,
+                    do_sort=False, cand_in=tables,
+                )
+
+            st, dt_next, step_flags, tables = jax.lax.cond(
+                n % ci == 0, run_build, run_reuse, (st, dt_cur)
+            )
+            timeleft = timeleft - dt_next
+            dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)
+            return st, dt_next, timeleft, flags | step_flags, n + 1, tables
+
+        state, dt, timeleft, flags, _, _ = jax.lax.while_loop(
+            cond, body,
+            (state, dt, timeleft, jnp.int32(0), jnp.int32(0), tables0),
+        )
+        return state, dt, timeleft, flags
 
     def cond(carry):
         _, _, timeleft, _, n = carry
         return (timeleft > 0.0) & (n < cap)
-
-    interval = int(config.sort_interval)
 
     def body(carry):
         st, dt_cur, timeleft, flags, n = carry

@@ -122,11 +122,38 @@ def test_stale_guard_fires(params):
     assert int(f2) & FLAG_CAND_STALE
 
 
-def test_engine_rejects_cand_interval():
+def test_sharded_engine_rejects_cand_interval():
     from libclsph_tpu.engine.simulation import SPHSimulation
 
     with pytest.raises(ValueError, match="cand_interval"):
-        SPHSimulation(step_config=StepConfig(cand_interval=2))
+        SPHSimulation(step_config=StepConfig(cand_interval=2), mesh=object())
+
+
+def test_frame_jit_reuse_matches_rebuild(params):
+    """One whole device-side frame (frame_jit's lax.cond rebuild/reuse
+    schedule) with cand_interval=2 stays flag-clean and lands within
+    numerical-noise distance of the rebuild-every-substep frame."""
+    from libclsph_tpu.engine.step import frame_jit
+
+    base = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        max_candidates=64, max_candidates_sub=64, max_candidates_hit=64,
+        sort_interval=2,
+    )
+    reuse_cfg = dataclasses.replace(base, cand_interval=2, cand_slack=0.3)
+    state = _settled(params, base)
+    dt = jnp.float32(params.max_dt)
+    timeleft = jnp.float32(4.5 * params.max_dt)  # a few substeps
+
+    s_a, _, tl_a, f_a = frame_jit(state, dt, timeleft, params, None, base)
+    s_b, _, tl_b, f_b = frame_jit(state, dt, timeleft, params, None, reuse_cfg)
+    assert not int(f_a) and not int(f_b)
+    np.testing.assert_allclose(float(tl_a), float(tl_b), atol=1e-6)
+    # same substep count + same dt schedule; supersets only perturb
+    # summation order, so trajectories agree to fp noise
+    np.testing.assert_allclose(
+        np.asarray(s_a.position), np.asarray(s_b.position), atol=1e-4
+    )
 
 
 def test_reuse_requires_static_sort_skip(params):
