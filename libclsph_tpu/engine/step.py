@@ -1039,6 +1039,8 @@ def frame_jit(state, dt, timeleft, params, scene, config):
             _, _, timeleft, _, n, _ = carry
             return (timeleft > 0.0) & (n < cap)
 
+        slack2 = jnp.float32((config.cand_slack * params.h) ** 2)
+
         def body(carry):
             st, dt_cur, timeleft, flags, n, tables = carry
 
@@ -1056,8 +1058,21 @@ def frame_jit(state, dt, timeleft, params, scene, config):
                     do_sort=False, cand_in=tables,
                 )
 
+            # PREDICTIVE staleness: decide rebuild-vs-reuse from the
+            # displacement since the carried anchor BEFORE running the
+            # substep, so a fast flow degrades gracefully to
+            # rebuild-every-substep instead of flagging mid-frame and
+            # forcing an engine-level frame re-run + slack-doubling
+            # recompile (measured r3: reactive flagging took the river
+            # scene from 8.2 to 17.5 s/frame).
+            d2 = jnp.sum(
+                (st.position - tables[2][: st.position.shape[0]]) ** 2,
+                axis=1,
+            )
+            stale_now = 4.0 * jnp.max(d2) > slack2
             st, dt_next, step_flags, tables = jax.lax.cond(
-                n % ci == 0, run_build, run_reuse, (st, dt_cur)
+                (n % ci == 0) | stale_now, run_build, run_reuse,
+                (st, dt_cur),
             )
             timeleft = timeleft - dt_next
             dt_next = jnp.where(timeleft < dt_next, timeleft, dt_next)

@@ -607,7 +607,6 @@ def _forces_pair_q32(col, row, qrow, acc, *, h, spiky, visc, poly6_grad,
         p_coeff = (row(_CPM) + col(_QPM)) * not_self
         spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
         a_reg = p_coeff * spiky_s
-        sing = p_coeff * (spiky * near0f)
         g_mat = (poly6_grad * u) * t
         l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
 
@@ -623,14 +622,24 @@ def _forces_pair_q32(col, row, qrow, acc, *, h, spiky, visc, poly6_grad,
         lhs = jnp.concatenate([a_reg, b_mat, g_mat, l_mat], axis=0)
         res = _reduce_dot(rhs, lhs, (((1,), (1,)), ((), ())))  # (7, 128)
         acc[0:7, :] += res
-        # coincident-pair singular branch: plain lane sum, narrow dot
-        sing_sum = _reduce_dot(
-            ones, sing, (((1,), (1,)), ((), ())), lhs_exact=True,
-            mode="split3",
-        )  # (1, 32)
-        acc[7:8, :] += jnp.concatenate(
-            [sing_sum, jnp.zeros((1, LANES - Q32), jnp.float32)], axis=1
-        )
+
+        # coincident-pair singular branch (spiky r->0 splat,
+        # smoothing.cl:21-29): a DISTINCT non-self pair at r < eps
+        # essentially never exists outside degenerate initialisations,
+        # and its contribution is identically zero otherwise — gate the
+        # whole narrow dot + accumulate behind the condition instead of
+        # paying it every pair tile.
+        @pl.when(jnp.any(near0 & (col(_QGID) != row(_CGID))))
+        def _():
+            sing = p_coeff * (spiky * near0f)
+            sing_sum = _reduce_dot(
+                ones, sing, (((1,), (1,)), ((), ())), lhs_exact=True,
+                mode="split3",
+            )  # (1, 32)
+            acc[7:8, :] += jnp.concatenate(
+                [sing_sum, jnp.zeros((1, LANES - Q32), jnp.float32)],
+                axis=1,
+            )
 
 
 def _forces_finalize_q32(acc, qrow, out, g):
