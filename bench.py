@@ -77,12 +77,14 @@ def main():
                     "--max-candidates-sub in 16-wide units, ~1.5x)")
     ap.add_argument("--tier2-frac", type=int, default=0)
     ap.add_argument("--tier2-mult", type=int, default=2)
-    ap.add_argument("--sort-interval", type=int, default=2,
+    ap.add_argument("--sort-interval", type=int, default=4,
                     help="re-sort every k-th substep (1 = every substep)")
-    ap.add_argument("--cand-interval", type=int, default=2,
+    ap.add_argument("--cand-interval", type=int, default=4,
                     help="rebuild candidate lists every k-th substep "
-                    "(Verlet-list reuse; 2 measured 212->200 ms at 1M, "
-                    "equivalence + stale-guard tested)")
+                    "(Verlet-list reuse; batch-8 cadence A/B at 1M: "
+                    "k=1 212.4, k=2 207.6, k=3 199.0, k=4 193.5 ms — "
+                    "equivalence + stale-guard tested; the timed_flags "
+                    "detail certifies no stale reuse happened)")
     ap.add_argument("--cand-slack", type=float, default=0.25,
                     help="refine dilation as a fraction of h for reuse")
     ap.add_argument("--json-only", action="store_true")
@@ -243,6 +245,11 @@ def main():
             "scene": args.scene,
             "platform": platform,
             "final_dt": float(dt),
+            # status bitfield ORed over the timed substeps — MUST be 0
+            # for the number to stand (any capacity truncation or a
+            # stale candidate reuse would taint the physics; the
+            # warmup autotune grows capacities/slack until clean)
+            "timed_flags": int(timed_ovf),
         },
     }
     print(json.dumps(result))

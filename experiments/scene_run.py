@@ -135,9 +135,10 @@ def main():
         neighbor_impl=impl,
         max_candidates=args.max_candidates,
         max_candidates_sub=args.max_candidates_sub,
-        sort_interval=2,
-        cand_interval=2,  # Verlet reuse (device-guarded, engine re-runs
-        # the frame with doubled slack if the guard fires)
+        sort_interval=4,
+        cand_interval=4,  # Verlet reuse (predictive in-loop staleness:
+        # frame_jit rebuilds when displacement-since-anchor exceeds the
+        # slack budget; fast flows degrade to rebuild-every-substep)
     )
     sim = SPHSimulation(step_config=cfg)
     placement = PLACEMENTS.get(args.scene)

@@ -79,11 +79,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="two-tier candidate-capacity routing (0 = off)",
     )
     ap.add_argument(
-        "--sort-interval", type=int, default=2,
+        "--sort-interval", type=int, default=4,
         help="re-sort particles every k-th substep (single-chip only)",
     )
     ap.add_argument(
-        "--cand-interval", type=int, default=2,
+        "--cand-interval", type=int, default=4,
         help="rebuild candidate lists every k-th substep (Verlet-list "
         "reuse; device-guarded, single-chip only; must divide "
         "--sort-interval)",
@@ -150,14 +150,14 @@ def main(argv=None) -> int:
         cand_slack=args.cand_slack,
     )
     if args.mesh and args.sort_interval != 1:
-        if args.sort_interval != 2:  # explicit non-default: hard error
+        if args.sort_interval != 4:  # explicit non-default: hard error
             print("--sort-interval > 1 is unsupported with --mesh "
                   "(Morton order is load-bearing for shard ownership)",
                   file=sys.stderr)
             return -1
         cfg = dataclasses.replace(cfg, sort_interval=1)
     if args.mesh and args.cand_interval != 1:
-        if args.cand_interval != 2:  # explicit non-default: hard error
+        if args.cand_interval != 4:  # explicit non-default: hard error
             print("--cand-interval > 1 is unsupported with --mesh "
                   "(the sharded step does not carry candidate state)",
                   file=sys.stderr)

@@ -162,10 +162,13 @@ class StepConfig:
     # (supersets never change sums). The CFL dt bounds per-substep
     # displacement by h/2 (a dt^2 + v dt = h/2), so the guard — not
     # the slack — is the correctness backstop near impacts.
-    # v1 (bench path): nl variant at whole-block query rows, no tier2,
+    # Constraints: nl variant at whole-block query rows, no tier2;
     # reuse substeps must also skip the sort (ids index the sorted
-    # order) — align cand_interval with sort_interval. frame_jit /
-    # the engine do not consume this yet.
+    # order), so sort_interval must be a multiple of cand_interval.
+    # Consumed by the bench path (substep_jit + cand_in) AND by
+    # frame_jit / the engine, where the rebuild-vs-reuse decision is
+    # PREDICTIVE (displacement-since-anchor checked before each
+    # substep — see frame_jit).
     cand_interval: int = 1
     cand_slack: float = 0.25  # refine dilation, fraction of h
     adaptive_dt: bool = True
