@@ -87,6 +87,10 @@ def main():
                     "detail certifies no stale reuse happened)")
     ap.add_argument("--cand-slack", type=float, default=0.25,
                     help="refine dilation as a fraction of h for reuse")
+    ap.add_argument("--density-gate", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="gate reuse-substep density panels by the build "
+                    "substep's dilated tile-hit flags (r4)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -119,6 +123,7 @@ def main():
         sort_interval=args.sort_interval,
         cand_interval=args.cand_interval,
         cand_slack=args.cand_slack,
+        density_gate=args.density_gate,
     )
     if args.cand_interval > 1 and args.sort_interval % args.cand_interval:
         # reuse substeps must not re-sort (ids index the sorted order);

@@ -1,7 +1,9 @@
 #!/bin/bash
 # Round-3 batch 8: cadence A/B — candidate-rebuild / re-sort intervals
-# and reuse slack around the shipped defaults (cand 2 / sort 2 /
-# slack 0.25). HOST MUST BE IDLE (BASELINE.md measurement traps).
+# and reuse slack around the r3 mid-round defaults (cand 2 / sort 2 /
+# slack 0.25; the batch's outcome CHANGED the shipped defaults to
+# cand 4 / sort 4, so every control below pins its flags explicitly).
+# HOST MUST BE IDLE (BASELINE.md measurement traps).
 # Appends to experiments/r3_results.jsonl.
 cd "$(dirname "$0")/.." || exit 1
 OUT="${1:-experiments/r3_results.jsonl}"
@@ -28,17 +30,21 @@ print(rec["tag"], "OK" if "error" not in rec else "FAILED",
 
 B="python bench.py --json-only --steps 20"
 
-# fresh control at the shipped defaults (cand 2 / sort 2 / slack .25)
-run b8-1m-base 1200 $B
+# fresh control at the r3 mid-round defaults (cand 2 / sort 2 / slack .25)
+run b8-1m-base 1200 $B --cand-interval 2 --sort-interval 2 --cand-slack 0.25
 
 # longer reuse window, matched sort cadence
 run b8-1m-c3s3 1200 $B --cand-interval 3 --sort-interval 3
 
 # keep cand 2, stretch only the sort/permute cadence
-run b8-1m-c2s4 1200 $B --sort-interval 4
+run b8-1m-c2s4 1200 $B --cand-interval 2 --sort-interval 4
 
 # longer reuse + slack sized for it (0.25 * 3/2)
 run b8-1m-c3s3-slack375 1200 $B --cand-interval 3 --sort-interval 3 \
     --cand-slack 0.375
+
+# the k=4 rung that became the shipped defaults, plus the defaults run
+run b8-1m-c4s4 1200 $B --cand-interval 4 --sort-interval 4 --cand-slack 0.25
+run b8-1m-new-defaults 1200 $B
 
 echo "batch8 done -> $OUT" >&2

@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--density-sub16", action="store_true")
     ap.add_argument("--max-candidates-hit16", type=int, default=64)
     ap.add_argument("--sort-interval", type=int, default=1)
+    ap.add_argument("--cand-interval", type=int, default=1)
+    ap.add_argument("--cand-slack", type=float, default=0.25)
     ap.add_argument("--tier2-frac", type=int, default=0)
     ap.add_argument("--trace-dir", default="/tmp/xprof_substep")
     ap.add_argument("--top", type=int, default=40)
@@ -84,7 +86,9 @@ def main():
     if not args.parse_only:
         from bench import build_params
         from libclsph_tpu.core.state import init_state
-        from libclsph_tpu.engine.step import StepConfig, substep_jit
+        from libclsph_tpu.engine.step import (
+            StepConfig, substep_jit, substep_reuse_jit,
+        )
         from libclsph_tpu.ops import collisions as collisions_ops
         from libclsph_tpu.scene.scene import Scene
 
@@ -101,6 +105,8 @@ def main():
             max_candidates_hit16=args.max_candidates_hit16,
             tier2_frac=args.tier2_frac,
             sort_interval=args.sort_interval,
+            cand_interval=args.cand_interval,
+            cand_slack=args.cand_slack,
         )
         scene_dev = None
         if args.scene != "none":
@@ -109,23 +115,38 @@ def main():
             )
             scene_dev = collisions_ops.build_device_scene(scene)
 
+        def run(state, dt, i, tables):
+            """bench.py's cadence: rebuild every cand_interval-th substep,
+            reuse the carried tables otherwise."""
+            do_sort = i % args.sort_interval == 0
+            if cfg.cand_interval <= 1:
+                s, d, _ = substep_jit(
+                    state, dt, params, scene_dev, cfg, do_sort=do_sort
+                )
+                return s, d, None
+            if i % cfg.cand_interval == 0:
+                s, d, _, t = substep_jit(
+                    state, dt, params, scene_dev, cfg, do_sort=do_sort
+                )
+            else:
+                s, d, _, t = substep_reuse_jit(
+                    state, dt, params, scene_dev, cfg, tables
+                )
+            return s, d, t
+
         state = init_state(params)
         dt = jnp.float32(params.max_dt)
-        for i in range(3):
-            state, dt, _ = substep_jit(
-                state, dt, params, scene_dev, cfg,
-                do_sort=(i % args.sort_interval == 0),
-            )
+        tables = None
+        warm = max(3, args.cand_interval)
+        for i in range(warm):
+            state, dt, tables = run(state, dt, i, tables)
         jax.block_until_ready(state.position)
         print("warm; tracing...", file=sys.stderr)
 
         t0 = time.perf_counter()
         with jax.profiler.trace(args.trace_dir):
             for i in range(args.steps):
-                state, dt, _ = substep_jit(
-                    state, dt, params, scene_dev, cfg,
-                    do_sort=(i % args.sort_interval == 0),
-                )
+                state, dt, tables = run(state, dt, i, tables)
             jax.block_until_ready(state.position)
         wall = time.perf_counter() - t0
         print(f"traced {args.steps} substeps in {wall:.2f}s "

@@ -149,20 +149,36 @@ def main(argv=None) -> int:
         cand_interval=args.cand_interval,
         cand_slack=args.cand_slack,
     )
-    if args.mesh and args.sort_interval != 1:
-        if args.sort_interval != 4:  # explicit non-default: hard error
+    ap = build_arg_parser()
+    if args.mesh and cfg.sort_interval != 1:
+        if args.sort_interval != ap.get_default("sort_interval"):
+            # explicit non-default: hard error
             print("--sort-interval > 1 is unsupported with --mesh "
                   "(Morton order is load-bearing for shard ownership)",
                   file=sys.stderr)
             return -1
         cfg = dataclasses.replace(cfg, sort_interval=1)
-    if args.mesh and args.cand_interval != 1:
-        if args.cand_interval != 4:  # explicit non-default: hard error
+    if args.mesh and cfg.cand_interval != 1:
+        if args.cand_interval != ap.get_default("cand_interval"):
             print("--cand-interval > 1 is unsupported with --mesh "
                   "(the sharded step does not carry candidate state)",
                   file=sys.stderr)
             return -1
         cfg = dataclasses.replace(cfg, cand_interval=1)
+    if (
+        cfg.cand_interval > 1
+        and cfg.sort_interval % cfg.cand_interval
+        and args.cand_interval == ap.get_default("cand_interval")
+    ):
+        # the user pinned --sort-interval but left --cand-interval at
+        # its default: clamp the default down to a divisor instead of
+        # failing the divisibility check below
+        import math
+
+        cfg = dataclasses.replace(
+            cfg,
+            cand_interval=math.gcd(cfg.cand_interval, cfg.sort_interval),
+        )
     if cfg.cand_interval > 1 and cfg.sort_interval % cfg.cand_interval:
         print("--cand-interval must divide --sort-interval", file=sys.stderr)
         return -1

@@ -171,6 +171,16 @@ class StepConfig:
     # substep — see frame_jit).
     cand_interval: int = 1
     cand_slack: float = 0.25  # refine dilation, fraction of h
+    # Gate the REUSE-substep density pass per (query subgroup,
+    # candidate tile) by the build substep's dilated hit flags
+    # (ops/pallas/neighbor_nl.py fused_density_gated16): the carried
+    # refined list is still gathered in full, but the density kernel
+    # computes only the (32, 128) panels whose tile had a pair within
+    # (1 + cand_slack) * h at build time — supersets of the true tile
+    # hits while the staleness guard holds, so skipping the rest is
+    # physics-exact (the same argument as hit_compact). Only active on
+    # the density_sub16 + cand_interval > 1 production shape.
+    density_gate: bool = True
     adaptive_dt: bool = True
     # frame_jit dispatch bound: a stiff impact can floor the adaptive
     # dt at DT_MIN (1e-5 s), blowing a frame up to ~1.7k substeps — an
@@ -385,6 +395,10 @@ def _density_forces_pallas_nl(
     h_search = (
         params.h * (1.0 + config.cand_slack) if reuse_on else params.h
     )
+    # gated reuse density (StepConfig.density_gate): the carry grows a
+    # 4th leaf, the packed dilated tile-hit nibbles
+    gate_on = reuse_on and dsub16 and config.density_gate
+    cand_mask = None
     sub = cfg.block_size // (nl.SUB16 if dsub16 else nl.SUB)
     cap_sub = config.max_candidates_sub * (
         config.tier2_mult if use_t2 else 1
@@ -460,13 +474,16 @@ def _density_forces_pallas_nl(
         # built against pos_anchor with threshold h_search = (1+slack)h;
         # a pair can have closed by at most 2 * max displacement since
         # the anchor, so they remain supersets of the true r < h
-        # neighbourhood while 2 * D_max <= slack * h.
-        cand_sub, count_sub, pos_anchor = cand_in
+        # neighbourhood while 2 * D_max <= slack * h. (The same bound
+        # covers the dilated tile-hit nibbles of the gated density.)
+        if gate_on:
+            cand_sub, count_sub, pos_anchor, cand_mask = cand_in
+        else:
+            cand_sub, count_sub, pos_anchor = cand_in
         d2 = jnp.sum((state.position - pos_anchor) ** 2, axis=1)
         d2max = jnp.max(jnp.where(real, d2, 0.0))
         stale = 4.0 * d2max > (config.cand_slack * params.h) ** 2
         flags = stale.astype(jnp.int32) * FLAG_CAND_STALE
-    cand_out = (cand_sub, count_sub, pos_anchor) if reuse_on else None
 
     if use_t2:
         mass = params.particle_mass
@@ -534,11 +551,29 @@ def _density_forces_pallas_nl(
         # refine work — the density kernel's flags carry the split.
         # force_sub16 narrows the flags to HALF-subblocks (hit_sub=16)
         # for the 16-wide force pass: 552 slots/particle.
-        density, hits = fused_density(
-            q_pos, c_pos_pack, cand_sub, count_sub, params, terms, real,
-            r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
-            hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=dsub16,
-        )
+        if gate_on and cand_in is not None:
+            # reuse substep: density gated by the carried dilated
+            # tile-hit nibbles (see StepConfig.density_gate)
+            density, hits = nl.fused_density_gated16(
+                q_pos, c_pos_pack, cand_sub, count_sub, cand_mask,
+                params, terms, real,
+            )
+        elif gate_on:
+            # build substep: also emit the dilated per-tile flags the
+            # reuse substeps will gate on
+            density, hits, hits2 = fused_density(
+                q_pos, c_pos_pack, cand_sub, count_sub, params, terms,
+                real, r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
+                hit_sub=nl.SUB16, c16=True,
+                hit2_h=params.h * (1.0 + config.cand_slack),
+            )
+            cand_mask = nl.pack_tile_nibbles(hits2, cand_sub.shape[0])
+        else:
+            density, hits = fused_density(
+                q_pos, c_pos_pack, cand_sub, count_sub, params, terms,
+                real, r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
+                hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=dsub16,
+            )
         if dsub16:
             # candidate ids are already 16-granular (refine at sub=8):
             # flags are slot-aligned with cand_sub, no interleave
@@ -589,6 +624,12 @@ def _density_forces_pallas_nl(
             r2_mxu=r2_mxu,
         )
         cand_f, count_f = cand_sub, count_sub
+    if reuse_on:
+        cand_out = (cand_sub, count_sub, pos_anchor) + (
+            (cand_mask,) if gate_on else ()
+        )
+    else:
+        cand_out = None
     pressure = interactions_ops.tait_pressure(density, params)
     pressure = jnp.where(real, pressure, 0.0)
 
@@ -906,8 +947,31 @@ def substep(
             )
 
     # ---- sort by Morton code (replaces the radix-sort pipeline)
+    def sort_lean(st, cs):
+        # tiles/pallas: permute only the fields the rest of the substep
+        # READS (position, velocity, intermediate_velocity) — density,
+        # pressure and acceleration are rebuilt from scratch by the
+        # density/force passes before anything consumes them, so
+        # permuting them is pure gather traffic (~20 B/particle
+        # read+write per sort substep at 1M)
+        sorted_cs, order = jax.lax.sort_key_val(
+            cs, jnp.arange(cs.shape[0], dtype=jnp.int32)
+        )
+        return st.replace(
+            position=jnp.take(st.position, order, axis=0),
+            velocity=jnp.take(st.velocity, order, axis=0),
+            intermediate_velocity=jnp.take(
+                st.intermediate_velocity, order, axis=0
+            ),
+            grid_index=sorted_cs,
+        )
+
     if do_sort is True:
-        state, sorted_codes, _ = grid_ops.sort_by_cell(state, codes)
+        if config.neighbor_impl == "exact":
+            state, sorted_codes, _ = grid_ops.sort_by_cell(state, codes)
+        else:
+            state = sort_lean(state, codes)
+            sorted_codes = state.grid_index
     else:
         if config.neighbor_impl == "exact":
             raise ValueError(
@@ -920,9 +984,9 @@ def substep(
         else:  # traced scalar: gate the sort on device
             state = jax.lax.cond(
                 do_sort,
-                lambda s_c: grid_ops.sort_by_cell(s_c[0], s_c[1])[0],
-                lambda s_c: s_c[0].replace(grid_index=s_c[1]),
-                (state, codes),
+                sort_lean,
+                lambda s, c: s.replace(grid_index=c),
+                state, codes,
             )
 
     # ---- density + pressure, forces
@@ -1037,6 +1101,16 @@ def frame_jit(state, dt, timeleft, params, scene, config):
             jnp.zeros((np_ // config.block_size,), jnp.int32),
             jnp.zeros((np_, 3), jnp.float32),
         )
+        if config.density_sub16 and config.density_gate:
+            # gated reuse density: + the packed dilated tile-hit
+            # nibbles (one int32 word per 8-tile grid step)
+            step16 = 8 * 8  # GROUP16 * TPS subblock slots per grid step
+            mp = -(-config.max_candidates_sub // step16) * step16
+            tables0 = tables0 + (
+                jnp.zeros(
+                    (np_ // config.block_size, mp // step16), jnp.int32
+                ),
+            )
 
         def cond(carry):
             _, _, timeleft, _, n, _ = carry

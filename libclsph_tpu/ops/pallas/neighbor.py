@@ -485,7 +485,9 @@ def _r2_mxu(col, row):
 
 
 def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
-                         hit_slot=None, hit_rows=0, sub=32, hit_groups=1):
+                         hit_slot=None, hit_rows=0, sub=32, hit_groups=1,
+                         hit2_h=None, hit2_slot=None, hit2_rows=0,
+                         hit2_row0=0):
     """Row-output density tile: the lane reduction is ONE MXU
     dot_general against a ones row and the accumulator is lane-major
     (a (B, 1) column op costs 16 nearly-empty vregs on TPU; a (1, B)
@@ -538,62 +540,96 @@ def _density_core_rowout(col, row, out, *, h, poly6, r2_mxu=False,
         out[0, 0:1, :] += res
 
         if hit_slot is not None:
-            bq, bc = incl.shape  # query width (out lanes), cand lanes
-            group = bc // sub
-            if hit_groups == 1:
-                # any over query rows -> (1, Bc) lane vector of pair hits
-                hq = jnp.any(incl, axis=0, keepdims=True).astype(jnp.float32)
-            else:
-                # per-subgroup hit counts: selector (G, Bq) @ incl
-                # (Bq, Bc) — 0/1 operands, f32 accumulate: exact
-                qg = bq // hit_groups
-                g_row = jax.lax.broadcasted_iota(
-                    jnp.int32, (hit_groups, bq), 0
-                )
-                g_lane = jax.lax.broadcasted_iota(
-                    jnp.int32, (hit_groups, bq), 1
-                )
-                gsel = (g_lane // qg == g_row).astype(jnp.float32)
-                hq = jax.lax.dot_general(
-                    gsel, incl.astype(jnp.float32), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (G, Bc) counts; > 0 iff subgroup g hit lane c
-            lane = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0)
-            quarter = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
-            s_mat = (lane // sub == quarter).astype(jnp.float32)
-            # counts per subblock quarter, landing in lanes 0..group-1
-            q4 = jax.lax.dot_general(
-                hq, s_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (G, group)
-            # roll on the full 128-lane row (Mosaic's dynamic rotate
-            # requires lane-aligned shapes), then narrow to the out
-            # width: q4 is nonzero only in lanes 0..group-1 and the
-            # roll amount is <= bq - group, so the flags always land
-            # inside [0, bq) with no wrap
-            rolled = pltpu.roll(q4, hit_slot % bq, axis=1)[:, :bq]
-            # subgroup g's plane = rows [g*hit_rows, (g+1)*hit_rows),
-            # the slot's row within each plane = hit_slot // bq. Built
-            # as a static per-group select + concat: pltpu.repeat has
-            # TILE semantics ([g0, g1, .., g0, g1, ..]), NOT jnp.repeat
-            # element semantics — using it here silently scattered q32
-            # flags into the wrong planes whenever the candidate
-            # capacity exceeded bq (hit_rows > 1), dropping force pairs
-            # with no overflow flag (caught by
-            # test_physics.test_q32_forces_wide_capacity).
-            row_in_plane = jax.lax.broadcasted_iota(
-                jnp.int32, (hit_rows, bq), 0
+            _emit_hit_flags(
+                incl, out, hit_slot, hit_rows, sub, hit_groups, row0=1
             )
-            keep = row_in_plane == hit_slot // bq
-            planes = [
-                jnp.where(keep, rolled[g : g + 1], 0.0)
-                for g in range(hit_groups)
-            ]
-            out[0, 1 : 1 + hit_groups * hit_rows, :] += (
-                planes[0]
-                if hit_groups == 1
-                else jnp.concatenate(planes, axis=0)
+
+    if hit2_h is not None:
+        # DILATED per-TILE hit flags (one flag per 128-lane candidate
+        # tile per query subgroup) for the Verlet-reuse density gating
+        # (fused_density_gated16): flag = any pair within hit2_h. Own
+        # gate — tiles with only dilated-shell pairs are skipped by the
+        # exact any(incl) gate above but must still flag here.
+        incl2 = r2 < hit2_h * hit2_h
+        bc = incl.shape[1]
+
+        @pl.when(jnp.any(incl2))
+        def _():
+            _emit_hit_flags(
+                incl2, out, hit2_slot, hit2_rows, bc, hit_groups,
+                row0=hit2_row0,
             )
+
+
+def _emit_hit_flags(incl, out, hit_slot, hit_rows, sub, hit_groups, row0,
+                    out_width=None):
+    """Compress a (Bq, Bc) pair-inclusion panel to per-(query-subgroup,
+    candidate-run-of-``sub``-lanes) hit counters and accumulate them at
+    slot ``hit_slot`` of the flag planes in ``out`` rows
+    [row0, row0 + hit_groups*hit_rows) (see _density_core_rowout).
+    ``out_width``: lane extent of the out rows when it differs from the
+    panel's query width (the gated q32 density panels write flags into
+    128-lane rows); requires Bc == out_width."""
+    bq, bc = incl.shape  # query width, cand lanes
+    bq_out = bq if out_width is None else out_width  # out lane extent
+    if out_width is not None and bc != out_width:
+        raise ValueError("out_width requires Bc == out_width")
+    group = bc // sub
+    if hit_groups == 1:
+        # any over query rows -> (1, Bc) lane vector of pair hits
+        hq = jnp.any(incl, axis=0, keepdims=True).astype(jnp.float32)
+    else:
+        # per-subgroup hit counts: selector (G, Bq) @ incl
+        # (Bq, Bc) — 0/1 operands, f32 accumulate: exact
+        qg = bq // hit_groups
+        g_row = jax.lax.broadcasted_iota(
+            jnp.int32, (hit_groups, bq), 0
+        )
+        g_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (hit_groups, bq), 1
+        )
+        gsel = (g_lane // qg == g_row).astype(jnp.float32)
+        hq = jax.lax.dot_general(
+            gsel, incl.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, Bc) counts; > 0 iff subgroup g hit lane c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0)
+    quarter = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
+    s_mat = (lane // sub == quarter).astype(jnp.float32)
+    # counts per subblock quarter, landing in lanes 0..group-1
+    q4 = jax.lax.dot_general(
+        hq, s_mat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G, group)
+    # roll on the full 128-lane row (Mosaic's dynamic rotate
+    # requires lane-aligned shapes), then narrow to the out
+    # width: q4 is nonzero only in lanes 0..group-1 and the
+    # roll amount is <= bq_out - group, so the flags always land
+    # inside [0, bq_out) with no wrap
+    rolled = pltpu.roll(q4, hit_slot % bq_out, axis=1)[:, :bq_out]
+    # subgroup g's plane = rows [g*hit_rows, (g+1)*hit_rows),
+    # the slot's row within each plane = hit_slot // bq_out. Built
+    # as a static per-group select + concat: pltpu.repeat has
+    # TILE semantics ([g0, g1, .., g0, g1, ..]), NOT jnp.repeat
+    # element semantics — using it here silently scattered q32
+    # flags into the wrong planes whenever the candidate
+    # capacity exceeded bq (hit_rows > 1), dropping force pairs
+    # with no overflow flag (caught by
+    # test_physics.test_q32_forces_wide_capacity).
+    row_in_plane = jax.lax.broadcasted_iota(
+        jnp.int32, (hit_rows, bq_out), 0
+    )
+    keep = row_in_plane == hit_slot // bq_out
+    planes = [
+        jnp.where(keep, rolled[g : g + 1], 0.0)
+        for g in range(hit_groups)
+    ]
+    start = row0
+    out[0, start : start + hit_groups * hit_rows, :] += (
+        planes[0]
+        if hit_groups == 1
+        else jnp.concatenate(planes, axis=0)
+    )
 
 
 def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
@@ -633,23 +669,38 @@ def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
     @pl.when(jnp.any(incl_b))
     def _():
         near0 = r2 < eps * eps
-        inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
+        # inv_r doubles as the spiky near-zero guard (smoothing.cl:19):
+        # selecting 0 at near0 zeroes spiky_s below (the r->0 splat
+        # rides the gated singular branch instead), and r = r2 * inv_r
+        # is then 0 there — exactly the reference's r.
+        inv_r = jnp.where(near0, 0.0, jax.lax.rsqrt(r2))
         r = r2 * inv_r
-        near0f = near0.astype(jnp.float32)
-
-        not_self = (col(_QGID) != row(_CGID)).astype(jnp.float32)
         hr = jnp.maximum(h - r, 0.0)
         t = jnp.maximum(h2 - r2, 0.0)
         b_mat = (visc * row(_CMR)) * hr
         u = row(_CMR) * t
 
-        # pressure (Kelager 4.11) + coincident singular branch
-        p_coeff = (row(_CPM) + col(_QPM)) * not_self
-        spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
+        # pressure (Kelager 4.11). Self-exclusion is free on the VPU
+        # path: a self pair's query and candidate lanes hold
+        # bitwise-identical coordinates, so r2 == 0 exactly -> near0 ->
+        # spiky_s = 0, and every other pressure pair is a true i != j
+        # pair. (The MXU-r2 variant reconstructs r2 with ~|p|^2 * 6e-8
+        # absolute error, which can exceed eps^2 = 1e-14 — it keeps the
+        # explicit gid test.)
+        p_coeff = row(_CPM) + col(_QPM)
+        if r2_mxu:
+            p_coeff = p_coeff * (
+                col(_QGID) != row(_CGID)
+            ).astype(jnp.float32)
+        spiky_s = spiky * (hr * hr) * inv_r
         a_reg = p_coeff * spiky_s
-        sing = p_coeff * (spiky * near0f)
         g_mat = (poly6_grad * u) * t
-        l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
+        # 3h^2 - 7r^2 == 7t - 4h^2 inside the support (t = h2 - r2
+        # there), and both forms vanish with the u factor outside it,
+        # so the laplacian is a 2-op combination of g_mat and u
+        l_mat = (7.0 * poly6_lap / poly6_grad) * g_mat - (
+            4.0 * h2 * poly6_lap
+        ) * u
 
         b = a_reg.shape[0]
         lhs = jnp.concatenate([a_reg, b_mat, g_mat], axis=0)
@@ -673,18 +724,13 @@ def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
         ra = res[:, 0:b]
         rb = res[:, b : 2 * b]
         rg = res[:, 2 * b : 3 * b]
-        # the colour-field laplacian and the coincident-pair singular
-        # branch (smoothing.cl:23-25) only need plain lane sums (no
-        # x_i*sum - sum(x_j) cancellation), so they reduce in one
-        # narrow 2-pass split dot instead of riding the 6-pass HIGHEST
-        # dot — trims 40% off the expensive dot's width
-        small = _reduce_dot(
-            ones, jnp.concatenate([l_mat, sing], axis=0),
-            (((1,), (1,)), ((), ())),
+        # the colour-field laplacian only needs a plain lane sum (no
+        # x_i*sum - sum(x_j) cancellation), so it reduces in one narrow
+        # 2-pass split dot instead of riding the 6-pass HIGHEST dot
+        sum_l = _reduce_dot(
+            ones, l_mat, (((1,), (1,)), ((), ())),
             lhs_exact=True, mode="split3",
-        )  # (1, 2B)
-        sum_l = small[:, 0:b]
-        sum_sing = small[:, b : 2 * b]
+        )  # (1, B)
         qx = qrow[0, 0:1] - c0[0]  # (1, B), tile-centred
         qy = qrow[0, 1:2] - c0[1]
         qz = qrow[0, 2:3] - c0[2]
@@ -692,11 +738,10 @@ def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
         qvy = qrow[0, 4:5] - c0[4]
         qvz = qrow[0, 5:6] - c0[5]
         sum_a, sum_b, sum_g = ra[6:7], rb[6:7], rg[6:7]
-        # sum_j a_ij (x_i - x_j) = x_i sum(a) - sum(a x_j); the
-        # singular branch lands on every component (smoothing.cl:23-25)
-        out[0, _OPX : _OPX + 1, :] += qx * sum_a - ra[0:1] + sum_sing
-        out[0, _OPY : _OPY + 1, :] += qy * sum_a - ra[1:2] + sum_sing
-        out[0, _OPZ : _OPZ + 1, :] += qz * sum_a - ra[2:3] + sum_sing
+        # sum_j a_ij (x_i - x_j) = x_i sum(a) - sum(a x_j)
+        out[0, _OPX : _OPX + 1, :] += qx * sum_a - ra[0:1]
+        out[0, _OPY : _OPY + 1, :] += qy * sum_a - ra[1:2]
+        out[0, _OPZ : _OPZ + 1, :] += qz * sum_a - ra[2:3]
         out[0, _OVX : _OVX + 1, :] += rb[3:4] - qvx * sum_b
         out[0, _OVY : _OVY + 1, :] += rb[4:5] - qvy * sum_b
         out[0, _OVZ : _OVZ + 1, :] += rb[5:6] - qvz * sum_b
@@ -704,6 +749,28 @@ def _forces_core_rowout(col, row, qrow, out, *, h, spiky, visc, poly6_grad,
         out[0, _ONY : _ONY + 1, :] += qy * sum_g - rg[1:2]
         out[0, _ONZ : _ONZ + 1, :] += qz * sum_g - rg[2:3]
         out[0, _OLAP : _OLAP + 1, :] += sum_l
+
+        # coincident-pair singular branch (spiky r->0 splat,
+        # smoothing.cl:23-25): a DISTINCT pair at r < eps essentially
+        # never exists outside degenerate initialisations (self pairs
+        # DO hit near0 every tile that contains the query's own
+        # subblock, but contribute 0 here) — gate the gid test, the
+        # narrow dot and the accumulates behind the cheap any(near0)
+        # so the common tile never pays them. The splat lands on every
+        # pressure component (smoothing.cl:23-25).
+        @pl.when(jnp.any(near0))
+        def _():
+            not_self = (col(_QGID) != row(_CGID)).astype(jnp.float32)
+            sing = (p_coeff * not_self) * (
+                spiky * near0.astype(jnp.float32)
+            )
+            sum_sing = _reduce_dot(
+                ones, sing, (((1,), (1,)), ((), ())),
+                lhs_exact=True, mode="split3",
+            )  # (1, B)
+            out[0, _OPX : _OPX + 1, :] += sum_sing
+            out[0, _OPY : _OPY + 1, :] += sum_sing
+            out[0, _OPZ : _OPZ + 1, :] += sum_sing
 
 
 def _forces_kernel(

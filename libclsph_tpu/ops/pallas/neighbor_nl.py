@@ -48,9 +48,11 @@ from ...core.params import PrecomputedKernelValues, SimulationParameters
 from .neighbor import (
     MAX_PARTICLES_F32_ID,
     _density_core_rowout,
+    _emit_hit_flags,
     _forces_core_rowout,
     _interleave,
     _interpret_default,
+    _reduce_dot,
 )
 
 LANES = 128
@@ -342,7 +344,8 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
 
 
 def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
-                    hit_groups=1, hit_sub=SUB, c16=False):
+                    hit_groups=1, hit_sub=SUB, c16=False, hit2_h=None,
+                    hit2_rows=0, hit2_row0=0):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -374,6 +377,8 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
                 hit_slot=hit_slot, hit_rows=hit_rows, sub=hit_sub,
                 hit_groups=hit_groups,
+                hit2_h=hit2_h, hit2_slot=m * TPS + s,
+                hit2_rows=hit2_rows, hit2_row0=hit2_row0,
             )
 
 
@@ -392,6 +397,7 @@ def fused_density_nl(
     hit_groups: int = 1,
     hit_sub: int = SUB,
     c16: bool = False,
+    hit2_h: float | None = None,
 ):
     """Flat (n,) density over the sorted order. ``cand_sub``/``count``
     from tiles.refine_candidates; packs from make_query_planes /
@@ -413,11 +419,22 @@ def fused_density_nl(
     ``c16``: the candidate table/pack are natively 16-granular
     (density_sub16 path: ids from refine at sub=8 per block, pack from
     make_c16_pos_pack) — flags are then slot-aligned with ``cand_sub``
-    itself and ``hit_sub`` is implied 16."""
+    itself and ``hit_sub`` is implied 16.
+
+    ``hit2_h``: when given (requires want_hits), ALSO emit per-TILE
+    dilated hit counters — slot t of the extra (nb*hit_groups, ntiles)
+    return value counts pairs of subgroup g within ``hit2_h`` of
+    candidate tile t (= slots [t*8, (t+1)*8) of the padded c16 table).
+    These gate the Verlet-reuse density pass
+    (:func:`fused_density_gated16`): built at the dilated threshold,
+    they stay supersets of the true tile hits while the carried lists'
+    staleness guard holds. Returns (density, hits, hits2)."""
     interpret = _interpret_default() if interpret is None else interpret
     group = GROUP16 if c16 else GROUP
     if c16:
         hit_sub = SUB16
+    if hit2_h is not None and not (want_hits and c16):
+        raise ValueError("hit2_h requires want_hits and the c16 path")
     cand_sub, count_tiles = _pad_groups(cand_sub, count, group=group)
     mp = cand_sub.shape[1]
     bq = q_pos.shape[2]  # query width = out lane extent
@@ -426,15 +443,24 @@ def fused_density_nl(
     slots = mp if c16 else mp * (SUB // hit_sub)
     hit_rows = 0
     out_rows = 8
+    hit2_rows = 0
+    hit2_row0 = 0
+    ntiles = mp // group
     if want_hits:
         hit_rows = -(-slots // bq)
         flag_rows = hit_groups * hit_rows
+        if hit2_h is not None:
+            hit2_rows = -(-ntiles // bq)
+            hit2_row0 = 1 + flag_rows
+            flag_rows += hit_groups * hit2_rows
         # density row 0 + flag rows, rounded to whole (8, 128) tiles
         out_rows = max(8, -(-(1 + flag_rows) // 8) * 8)
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
         r2_mxu=r2_mxu, hit_rows=hit_rows, hit_groups=hit_groups,
         hit_sub=hit_sub, c16=c16,
+        hit2_h=None if hit2_h is None else float(hit2_h),
+        hit2_rows=hit2_rows, hit2_row0=hit2_row0,
     )
     wsum = _nl_call(
         kernel, q_pos, c_pos_pack, cand_sub, count_tiles, out_rows,
@@ -448,7 +474,201 @@ def fused_density_nl(
     hits = wsum[:, 1 : 1 + hit_groups * hit_rows, :].reshape(
         nb * hit_groups, hit_rows * bq
     )
-    return density, hits[:, :slots]
+    if hit2_h is None:
+        return density, hits[:, :slots]
+    hits2 = wsum[
+        :, hit2_row0 : hit2_row0 + hit_groups * hit2_rows, :
+    ].reshape(nb * hit_groups, hit2_rows * bq)
+    return density, hits[:, :slots], hits2[:, :ntiles]
+
+
+# ----------------------------------------------------------------------
+# Gated reuse-substep density (two-level Verlet): on candidate-reuse
+# substeps the density pass need not sweep the whole carried refined
+# list — the BUILD substep's density emitted per-(query-subgroup,
+# candidate-tile) hit flags at the DILATED threshold (1+slack)h
+# (fused_density_nl hit2_h), and those stay supersets of the true tile
+# hits while the carried lists' staleness guard holds (a pair can close
+# by at most 2*Dmax <= slack*h since the anchor). This kernel runs one
+# (32, 128) panel per FLAGGED (subgroup, tile) instead of the (128,128)
+# panel per live tile: measured tile-hit volume is ~half the admitted
+# q128 volume, and the per-slot VPU cost is identical. Gather volume is
+# unchanged (the full carried list is still fetched — the flags gate
+# COMPUTE, not DMA). Outputs are bit-compatible with fused_density_nl's
+# c16 (density, hits) pair, so the downstream force compaction is
+# untouched.
+# ----------------------------------------------------------------------
+
+
+def pack_tile_nibbles(hits2: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """(nb*QG, ntiles) dilated per-tile hit counters (group-major rows,
+    fused_density_nl hit2_h) -> (nb, ntiles/8) int32 nibble words for
+    the gated kernel's scalar prefetch: bit (t % 8) * 4 + g of word
+    t // 8 is set iff subgroup g of the block has a (dilated) pair in
+    candidate tile t. ntiles must be a multiple of 8 (it is: the padded
+    table is a whole number of TPS=8-tile grid steps)."""
+    ntiles = hits2.shape[1]
+    if ntiles % TPS:
+        raise ValueError("ntiles must be a multiple of the 8-tile step")
+    b = (hits2 > 0.0).reshape(nb, QG, ntiles).astype(jnp.int32)
+    t = jnp.arange(ntiles, dtype=jnp.int32)
+    bits = jnp.zeros((nb, ntiles), jnp.int32)
+    for g in range(QG):
+        bits = bits | (b[:, g, :] << ((t % 8) * 4 + g))
+    # disjoint bit patterns: the word-sum is an OR
+    return jnp.sum(bits.reshape(nb, ntiles // 8, 8), axis=2)
+
+
+def _density_kernel_gated16(count_ref, mask_ref, q, c, out, *, h, poly6,
+                            hit_rows):
+    """Grid (nb, mg); tile t = m*TPS + s maps to nibble word
+    mask_ref[i, m], bits (s*4 + g). One (Q32, 128) panel per set bit."""
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+    h2 = h * h
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+
+    word = mask_ref[i, m]
+    for s in range(TPS):
+        nib = (word >> (s * 4)) & 15
+
+        @pl.when((nib != 0) & (m * TPS + s < count_ref[i]))
+        def _(s=s, nib=nib):
+            tile = _transpose16_half(
+                c[s * GROUP16 : (s + 1) * GROUP16, :]
+            )  # (8, 128): rows 0..3 = px py pz realmask
+            row = lambda k: tile[k : k + 1, :]
+            ones = jnp.ones_like(row(0))
+            for g in range(QG):
+
+                @pl.when(((nib >> g) & 1) != 0)
+                def _(g=g):
+                    col = lambda k: q[0, k, g * Q32 : (g + 1) * Q32]
+                    dx = col(0) - row(0)
+                    dy = col(1) - row(1)
+                    dz = col(2) - row(2)
+                    r2 = dx * dx + dy * dy + dz * dz
+                    incl = r2 < h2
+
+                    @pl.when(jnp.any(incl))
+                    def _():
+                        t_ = jnp.maximum(h2 - r2, 0.0)
+                        w = (poly6 * row(3)) * (t_ * t_ * t_)
+                        res = _reduce_dot(
+                            ones, w, (((1,), (1,)), ((), ())),
+                            lhs_exact=True, mode="split3",
+                        )  # (1, 32)
+                        res128 = jnp.concatenate(
+                            [res, jnp.zeros((1, LANES - Q32), jnp.float32)],
+                            axis=1,
+                        )
+                        if g:
+                            res128 = pltpu.roll(res128, g * Q32, axis=1)
+                        out[0, 0:1, :] += res128
+                        # exact per-slot hit flags for subgroup g,
+                        # slot-aligned with the carried c16 table
+                        # (feeds compact_hits exactly like the ungated
+                        # kernel's hit_groups=QG planes)
+                        _emit_hit_flags(
+                            incl, out, (m * TPS + s) * GROUP16,
+                            hit_rows, SUB16, 1,
+                            row0=1 + g * hit_rows, out_width=LANES,
+                        )
+
+
+def fused_density_gated16(
+    q_pos: jnp.ndarray,
+    c16_pos_pack: jnp.ndarray,
+    cand_sub: jnp.ndarray,
+    count: jnp.ndarray,
+    mask: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    real_flat: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+):
+    """Reuse-substep density over the carried 16-granular candidate
+    table, gated per (query subgroup, candidate tile) by ``mask``
+    (:func:`pack_tile_nibbles` of the build substep's dilated flags).
+    Returns (density, hits) bit-compatible with
+    ``fused_density_nl(..., want_hits=True, hit_groups=QG, c16=True)``
+    over the same table — gated-off panels contribute exactly 0 to both
+    (no pair within h exists there while the staleness guard holds)."""
+    interpret = _interpret_default() if interpret is None else interpret
+    cand_sub, count_tiles = _pad_groups(cand_sub, count, group=GROUP16)
+    mp = cand_sub.shape[1]
+    bq = q_pos.shape[2]
+    mg = mp // (TPS * GROUP16)
+    if mask.shape[1] != mg:
+        raise ValueError(
+            f"mask words {mask.shape[1]} != grid steps {mg} of the "
+            "padded table"
+        )
+    hit_rows = -(-mp // bq)
+    out_rows = max(8, -(-(1 + QG * hit_rows) // 8) * 8)
+    kernel = functools.partial(
+        _density_kernel_gated16, h=float(params.h),
+        poly6=float(terms.poly_6), hit_rows=hit_rows,
+    )
+    nb = q_pos.shape[0]
+    fs = c16_pos_pack.shape[1]
+    dead = c16_pos_pack.shape[0] - 1
+    chunk = max(1, min(nb, NL_CHUNK_BYTES // (mp * fs * 4)))
+
+    def run_chunk(args):
+        cand_c, count_c, mask_c, qc = args
+        raw = gather_raw(c16_pos_pack, cand_c)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(cand_c.shape[0], mg),
+            in_specs=[
+                pl.BlockSpec((1, 3, bq, 1), lambda i, m, *_: (i, 0, 0, 0)),
+                pl.BlockSpec(
+                    (TPS * GROUP16, fs), lambda i, m, *_: (i * mg + m, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, out_rows, bq), lambda i, m, *_: (i, 0, 0)
+            ),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (cand_c.shape[0], out_rows, bq), jnp.float32
+            ),
+            interpret=interpret,
+        )(count_c, mask_c, qc, raw)
+
+    args = (cand_sub, count_tiles, mask, q_pos)
+    if chunk == nb:
+        wsum = run_chunk(args)
+    else:
+        nch = -(-nb // chunk)
+        pad = nch * chunk - nb
+        fills = (dead, 0, 0, 0)
+
+        def cc(a, fill):
+            if pad:
+                tail = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+                a = jnp.concatenate([a, tail], axis=0)
+            return a.reshape((nch, chunk) + a.shape[1:])
+
+        wsum = jax.lax.map(
+            run_chunk, tuple(cc(a, f) for a, f in zip(args, fills))
+        )
+        wsum = wsum.reshape((-1,) + wsum.shape[2:])[:nb]
+
+    density = params.particle_mass * wsum[:, 0, :].reshape(-1)
+    density = jnp.where(real_flat, density, params.fluid_density)
+    hits = wsum[:, 1 : 1 + QG * hit_rows, :].reshape(
+        nb * QG, hit_rows * bq
+    )
+    return density, hits[:, :mp]
 
 
 def _forces_kernel(count_ref, q, qrow, c, out, *, h, spiky, visc,
@@ -594,21 +814,34 @@ def _forces_pair_q32(col, row, qrow, acc, *, h, spiky, visc, poly6_grad,
     @pl.when(jnp.any(incl_b))
     def _():
         near0 = r2 < eps * eps
-        inv_r = jax.lax.rsqrt(jnp.where(near0, 1.0, r2))
+        # inv_r doubles as the spiky near-zero guard: selecting 0 at
+        # near0 zeroes spiky_s (the r->0 splat rides the gated singular
+        # branch below), and r = r2 * inv_r = 0 there — the reference's
+        # r. Self-exclusion is free on the VPU path: a self pair's
+        # lanes are bitwise-identical, so r2 == 0 exactly -> near0;
+        # the MXU-r2 variant keeps the explicit gid test (its
+        # reconstruction error can exceed eps^2 — see
+        # _forces_core_rowout).
+        inv_r = jnp.where(near0, 0.0, jax.lax.rsqrt(r2))
         r = r2 * inv_r
-        near0f = near0.astype(jnp.float32)
-
-        not_self = (col(_QGID) != row(_CGID)).astype(jnp.float32)
         hr = jnp.maximum(h - r, 0.0)
         t = jnp.maximum(h2 - r2, 0.0)
         b_mat = (visc * row(_CMR)) * hr
         u = row(_CMR) * t
 
-        p_coeff = (row(_CPM) + col(_QPM)) * not_self
-        spiky_s = (spiky * (1.0 - near0f)) * hr * hr * inv_r
+        p_coeff = row(_CPM) + col(_QPM)
+        if r2_mxu:
+            p_coeff = p_coeff * (
+                col(_QGID) != row(_CGID)
+            ).astype(jnp.float32)
+        spiky_s = spiky * (hr * hr) * inv_r
         a_reg = p_coeff * spiky_s
         g_mat = (poly6_grad * u) * t
-        l_mat = (poly6_lap * u) * (3.0 * h2 - 7.0 * r2)
+        # 3h^2 - 7r^2 == 7t - 4h^2 inside the support; both forms
+        # vanish with u outside it (see _forces_core_rowout)
+        l_mat = (7.0 * poly6_lap / poly6_grad) * g_mat - (
+            4.0 * h2 * poly6_lap
+        ) * u
 
         c0 = [qrow[0, k, 0] for k in range(6)]
         ones = jnp.ones_like(row(_CX))
@@ -627,11 +860,15 @@ def _forces_pair_q32(col, row, qrow, acc, *, h, spiky, visc, poly6_grad,
         # smoothing.cl:21-29): a DISTINCT non-self pair at r < eps
         # essentially never exists outside degenerate initialisations,
         # and its contribution is identically zero otherwise — gate the
-        # whole narrow dot + accumulate behind the condition instead of
-        # paying it every pair tile.
-        @pl.when(jnp.any(near0 & (col(_QGID) != row(_CGID))))
+        # gid test, the narrow dot and the accumulate behind the cheap
+        # any(near0) (true only in tiles holding the query's own
+        # subblock) instead of paying them every pair tile.
+        @pl.when(jnp.any(near0))
         def _():
-            sing = p_coeff * (spiky * near0f)
+            not_self = (col(_QGID) != row(_CGID)).astype(jnp.float32)
+            sing = (p_coeff * not_self) * (
+                spiky * near0.astype(jnp.float32)
+            )
             sing_sum = _reduce_dot(
                 ones, sing, (((1,), (1,)), ((), ())), lhs_exact=True,
                 mode="split3",

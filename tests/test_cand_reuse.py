@@ -79,7 +79,8 @@ def test_reuse_matches_rebuild(params, variant):
         state, tiny, params, None, reuse_cfg, do_sort=True
     )
     assert not int(f1)
-    cand_sub, count_sub, anchor = tables
+    # the c16 carry grows a 4th leaf (gated-density nibbles)
+    cand_sub, count_sub, anchor = tables[:3]
     assert anchor.shape[0] >= N
 
     s2r, _, f2r, tables2 = substep_reuse_jit(
@@ -101,6 +102,75 @@ def test_reuse_matches_rebuild(params, variant):
         np.asarray(s2r.acceleration), np.asarray(s2f.acceleration),
         atol=2e-5 * scale, rtol=2e-4,
     )
+
+
+def test_density_gate_matches_ungated(params):
+    """Gated reuse density (StepConfig.density_gate): on reuse substeps
+    the density kernel skips (subgroup, tile) panels with no DILATED
+    hit at build time. While the staleness guard holds those panels
+    contribute exactly 0, so the gated and ungated reuse substeps must
+    agree — including after real drift within the slack budget."""
+    base = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        max_candidates=64, max_candidates_hit=64,
+        force_query_rows=32, force_sub16=True, density_sub16=True,
+        max_candidates_sub=96, cand_interval=2, cand_slack=0.3,
+    )
+    assert base.density_gate  # the production default
+    ungated = dataclasses.replace(base, density_gate=False)
+    state = _settled(params, dataclasses.replace(base, cand_interval=1))
+    dt = jnp.float32(params.max_dt)
+
+    s1g, d1g, f1g, tg = substep_jit(state, dt, params, None, base,
+                                    do_sort=True)
+    s1u, d1u, f1u, tu = substep_jit(state, dt, params, None, ungated,
+                                    do_sort=True)
+    assert not int(f1g) and not int(f1u)
+    assert len(tg) == 4 and len(tu) == 3
+    np.testing.assert_array_equal(
+        np.asarray(s1g.density), np.asarray(s1u.density)
+    )
+
+    # reuse substep AFTER real drift (one dt of motion, within slack)
+    s2g, _, f2g, tg2 = substep_reuse_jit(s1g, d1g, params, None, base, tg)
+    s2u, _, f2u, _ = substep_reuse_jit(s1u, d1u, params, None, ungated, tu)
+    assert not int(f2g) and not int(f2u)
+    # the nibble mask passes through the reuse carry unchanged
+    assert bool(jnp.all(tg2[3] == tg[3]))
+    np.testing.assert_allclose(
+        np.asarray(s2g.density), np.asarray(s2u.density), rtol=1e-6
+    )
+    scale = float(jnp.max(jnp.abs(s2u.acceleration)))
+    np.testing.assert_allclose(
+        np.asarray(s2g.acceleration), np.asarray(s2u.acceleration),
+        atol=1e-6 * scale, rtol=1e-5,
+    )
+    # the gate must actually gate (some nibbles clear) on a settled
+    # cloud — otherwise the perf feature is a no-op
+    import numpy as _np
+
+    words = _np.asarray(tg[3])
+    dense_bits = _np.unpackbits(
+        words.astype(">u4").view(_np.uint8)
+    ).sum()
+    assert dense_bits < words.size * 32 * 0.9
+
+
+def test_pack_tile_nibbles():
+    from libclsph_tpu.ops.pallas import neighbor_nl as nl
+
+    nb, ntiles = 3, 16
+    rng = np.random.default_rng(7)
+    hits2 = jnp.asarray(
+        (rng.random((nb * nl.QG, ntiles)) < 0.3).astype(np.float32)
+    )
+    words = np.asarray(nl.pack_tile_nibbles(hits2, nb))
+    ref = np.asarray(hits2).reshape(nb, nl.QG, ntiles) > 0
+    for i in range(nb):
+        for t in range(ntiles):
+            for g in range(nl.QG):
+                bit = (words[i, t // 8] >> ((t % 8) * 4 + g)) & 1
+                assert bool(bit) == bool(ref[i, g, t])
 
 
 def test_stale_guard_fires(params):
