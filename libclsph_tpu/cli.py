@@ -150,19 +150,13 @@ def main(argv=None) -> int:
         cand_slack=args.cand_slack,
     )
     ap = build_arg_parser()
-    if args.mesh and cfg.sort_interval != 1:
-        if args.sort_interval != ap.get_default("sort_interval"):
-            # explicit non-default: hard error
-            print("--sort-interval > 1 is unsupported with --mesh "
-                  "(Morton order is load-bearing for shard ownership)",
-                  file=sys.stderr)
-            return -1
-        cfg = dataclasses.replace(cfg, sort_interval=1)
-    if args.mesh and cfg.cand_interval != 1:
+    if args.mesh and cfg.cand_interval != 1 and cfg.neighbor_impl != "pallas":
+        # the sharded candidate carry is an nl-kernel feature; with the
+        # tiles impl quietly rebuild every substep (defaults) or error
+        # on an explicit request
         if args.cand_interval != ap.get_default("cand_interval"):
-            print("--cand-interval > 1 is unsupported with --mesh "
-                  "(the sharded step does not carry candidate state)",
-                  file=sys.stderr)
+            print("--cand-interval > 1 with --mesh requires "
+                  "--neighbor-impl pallas", file=sys.stderr)
             return -1
         cfg = dataclasses.replace(cfg, cand_interval=1)
     if (

@@ -98,10 +98,14 @@ class SPHSimulation:
         self.post_frame: Optional[Callback] = None
         self.device_view: Optional[DeviceView] = None
         self.step_config = step_config or StepConfig()
-        if self.step_config.cand_interval > 1 and mesh is not None:
+        if (
+            self.step_config.cand_interval > 1
+            and mesh is not None
+            and self.step_config.neighbor_impl != "pallas"
+        ):
             raise ValueError(
-                "cand_interval > 1 is single-chip only: the sharded "
-                "step does not carry candidate state yet"
+                "sharded cand_interval > 1 requires the pallas impl "
+                "(the carried refined lists are an nl-kernel feature)"
             )
         self.capacity_retries = 0
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
@@ -333,12 +337,12 @@ class SPHSimulation:
             pad_for_mesh,
         )
 
-        if self.step_config.sort_interval != 1:
-            raise ValueError(
-                "sort_interval > 1 is single-chip only: the sharded step "
-                "relies on per-substep Morton order for shard ownership "
-                "and halo exchange"
-            )
+        # cadence (sort_interval / cand_interval) runs under the mesh
+        # since r4: shard ownership is static (particles never migrate
+        # between shards — pad_for_mesh partitions once and the halo
+        # machinery covers cross-shard neighbours), so skipped local
+        # sorts and carried candidate state are exactly as safe as on
+        # a single chip (parallel/sharded_step._local_substep).
         p = self.parameters
         t_start = _time.perf_counter()
         self.device_scene = collisions_ops.build_device_scene(self.current_scene)

@@ -1094,18 +1094,25 @@ def frame_jit(state, dt, timeleft, params, scene, config):
             params.particles_count, config.block_size
         )
         # dummy carry for iteration 0 (n=0 always rebuilds): shapes
-        # match _density_forces_pallas_nl's cand_out at this config
+        # match _density_forces_pallas_nl's cand_out at this config.
+        # The refined table's width is min(cap, sub * M) — the sort
+        # compaction can't emit more slots than the key plane has
+        # (tiles._self_priority_sort slices the sorted keys).
+        sub16 = config.density_sub16
+        subw = config.block_size // (16 if sub16 else 32)
+        width = min(
+            config.max_candidates_sub, subw * config.max_candidates
+        )
         tables0 = (
-            jnp.zeros((np_ // config.block_size,
-                       config.max_candidates_sub), jnp.int32),
+            jnp.zeros((np_ // config.block_size, width), jnp.int32),
             jnp.zeros((np_ // config.block_size,), jnp.int32),
             jnp.zeros((np_, 3), jnp.float32),
         )
-        if config.density_sub16 and config.density_gate:
+        if sub16 and config.density_gate:
             # gated reuse density: + the packed dilated tile-hit
             # nibbles (one int32 word per 8-tile grid step)
             step16 = 8 * 8  # GROUP16 * TPS subblock slots per grid step
-            mp = -(-config.max_candidates_sub // step16) * step16
+            mp = -(-width // step16) * step16
             tables0 = tables0 + (
                 jnp.zeros(
                     (np_ // config.block_size, mp // step16), jnp.int32

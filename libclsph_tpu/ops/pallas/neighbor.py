@@ -574,7 +574,6 @@ def _emit_hit_flags(incl, out, hit_slot, hit_rows, sub, hit_groups, row0,
     bq_out = bq if out_width is None else out_width  # out lane extent
     if out_width is not None and bc != out_width:
         raise ValueError("out_width requires Bc == out_width")
-    group = bc // sub
     if hit_groups == 1:
         # any over query rows -> (1, Bc) lane vector of pair hits
         hq = jnp.any(incl, axis=0, keepdims=True).astype(jnp.float32)
@@ -593,6 +592,19 @@ def _emit_hit_flags(incl, out, hit_slot, hit_rows, sub, hit_groups, row0,
             gsel, incl.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (G, Bc) counts; > 0 iff subgroup g hit lane c
+    _emit_hit_flags_from_hq(
+        hq, out, hit_slot, hit_rows, sub, hit_groups, row0, bq_out
+    )
+
+
+def _emit_hit_flags_from_hq(hq, out, hit_slot, hit_rows, sub, hit_groups,
+                            row0, bq_out):
+    """Flag-placement tail of :func:`_emit_hit_flags` from a
+    precomputed (hit_groups, Bc) per-subgroup hit-count panel (the
+    gated density kernel accumulates hq across its per-subgroup panels
+    and emits once per tile)."""
+    bc = hq.shape[1]
+    group = bc // sub
     lane = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 0)
     quarter = jax.lax.broadcasted_iota(jnp.int32, (bc, bc), 1)
     s_mat = (lane // sub == quarter).astype(jnp.float32)

@@ -519,10 +519,15 @@ def pack_tile_nibbles(hits2: jnp.ndarray, nb: int) -> jnp.ndarray:
     return jnp.sum(bits.reshape(nb, ntiles // 8, 8), axis=2)
 
 
-def _density_kernel_gated16(count_ref, mask_ref, q, c, out, *, h, poly6,
-                            hit_rows):
+def _density_kernel_gated16(count_ref, mask_ref, q, c, out, hq_scr, *, h,
+                            poly6, hit_rows):
     """Grid (nb, mg); tile t = m*TPS + s maps to nibble word
-    mask_ref[i, m], bits (s*4 + g). One (Q32, 128) panel per set bit."""
+    mask_ref[i, m], bits (s*4 + g). One (Q32, 128) panel per set bit;
+    per-subgroup hit rows accumulate in the ``hq_scr`` scratch so the
+    flag compression runs ONCE per tile (per-panel emission measured
+    +31% at 64k — the s_mat matmul is as big as the density dot)."""
+    from .neighbor import _emit_hit_flags_from_hq
+
     i = pl.program_id(0)
     m = pl.program_id(1)
     h2 = h * h
@@ -531,12 +536,16 @@ def _density_kernel_gated16(count_ref, mask_ref, q, c, out, *, h, poly6,
     def _():
         out[...] = jnp.zeros_like(out)
 
-    word = mask_ref[i, m]
+    # mask_ref is FLAT (nb*mg,): a 2-D (nb, mg) SMEM prefetch operand
+    # gets lane-padded to (nb, 128) int32 — 4 MB at 1M, over the 1 MB
+    # SMEM budget (measured: the padded alloc failed AOT compile)
+    word = mask_ref[i * pl.num_programs(1) + m]
     for s in range(TPS):
         nib = (word >> (s * 4)) & 15
 
         @pl.when((nib != 0) & (m * TPS + s < count_ref[i]))
         def _(s=s, nib=nib):
+            hq_scr[...] = jnp.zeros_like(hq_scr)
             tile = _transpose16_half(
                 c[s * GROUP16 : (s + 1) * GROUP16, :]
             )  # (8, 128): rows 0..3 = px py pz realmask
@@ -568,15 +577,18 @@ def _density_kernel_gated16(count_ref, mask_ref, q, c, out, *, h, poly6,
                         if g:
                             res128 = pltpu.roll(res128, g * Q32, axis=1)
                         out[0, 0:1, :] += res128
-                        # exact per-slot hit flags for subgroup g,
-                        # slot-aligned with the carried c16 table
-                        # (feeds compact_hits exactly like the ungated
-                        # kernel's hit_groups=QG planes)
-                        _emit_hit_flags(
-                            incl, out, (m * TPS + s) * GROUP16,
-                            hit_rows, SUB16, 1,
-                            row0=1 + g * hit_rows, out_width=LANES,
-                        )
+                        hq_scr[g : g + 1, :] = jnp.any(
+                            incl, axis=0, keepdims=True
+                        ).astype(jnp.float32)
+
+            # exact per-slot hit flags for ALL subgroups of this tile,
+            # slot-aligned with the carried c16 table (feeds
+            # compact_hits exactly like the ungated kernel's
+            # hit_groups=QG planes; gated-off panels stay 0)
+            _emit_hit_flags_from_hq(
+                hq_scr[0:QG, :], out, (m * TPS + s) * GROUP16,
+                hit_rows, SUB16, QG, 1, LANES,
+            )
 
 
 def fused_density_gated16(
@@ -625,6 +637,7 @@ def fused_density_gated16(
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(cand_c.shape[0], mg),
+            # (mask flattened below: 2-D SMEM operands lane-pad to 128)
             in_specs=[
                 pl.BlockSpec((1, 3, bq, 1), lambda i, m, *_: (i, 0, 0, 0)),
                 pl.BlockSpec(
@@ -634,6 +647,7 @@ def fused_density_gated16(
             out_specs=pl.BlockSpec(
                 (1, out_rows, bq), lambda i, m, *_: (i, 0, 0)
             ),
+            scratch_shapes=[pltpu.VMEM((8, LANES), jnp.float32)],
         )
         return pl.pallas_call(
             kernel,
@@ -642,7 +656,7 @@ def fused_density_gated16(
                 (cand_c.shape[0], out_rows, bq), jnp.float32
             ),
             interpret=interpret,
-        )(count_c, mask_c, qc, raw)
+        )(count_c, mask_c.reshape(-1), qc, raw)
 
     args = (cand_sub, count_tiles, mask, q_pos)
     if chunk == nb:

@@ -40,6 +40,7 @@ from ..core import morton
 from ..core.params import SimulationParameters
 from ..core.state import ParticleState
 from ..engine.step import (
+    FLAG_CAND_STALE,
     FLAG_CAPACITY,
     FLAG_CAPACITY_HIT,
     FLAG_CAPACITY_SUB,
@@ -91,15 +92,26 @@ def _nl_passes(
     config: StepConfig,
     center=None,
     self_index=None,
+    cand_in=None,
+    h_search=None,
 ):
     """Run the production nl Pallas kernels (ops/pallas/neighbor_nl.py)
     against an exchanged candidate block table — the sharded analog of
     engine.step._density_forces_pallas_nl. ``pos_fields`` /
     ``force_fields(blocked)`` provide the candidate-side tables
     (all-gathered or local+halo). Returns (density, pressure, accel,
-    nl_flags int32). ``center``: shared coordinate centre for the MXU-r2
-    path (config.pair_r2), identical on every shard (from the global
-    pmin/pmax bounds)."""
+    nl_flags int32, cand_tables) where ``cand_tables`` is the
+    (cand_sub, count_sub) refined-list pair for Verlet reuse (None on
+    the tier-2 path). ``center``: shared coordinate centre for the
+    MXU-r2 path (config.pair_r2), identical on every shard (from the
+    global pmin/pmax bounds).
+
+    ``cand_in``: carried (cand_sub, count_sub) from a build substep —
+    skips the refine entirely (StepConfig.cand_interval; the ids index
+    the COMBINED candidate table, whose layout is stable across reuse
+    substeps because sorts and surface sets are pinned to build
+    substeps). ``h_search``: refine threshold override (the build
+    substep's (1 + cand_slack) * h dilation)."""
     from ..ops.pallas import neighbor_nl as nl
 
     r2_mxu = config.pair_r2 == "mxu"
@@ -129,6 +141,7 @@ def _nl_passes(
     cap_sub = config.max_candidates_sub * (
         config.tier2_mult if use_t2 else 1
     )
+    h_refine = params.h if h_search is None else h_search
     if q_rep > 1:
         cand_q = jnp.repeat(cand, q_rep, axis=0)
         count_q = jnp.repeat(count, q_rep, axis=0)
@@ -139,7 +152,15 @@ def _nl_passes(
     self_lo = None
     if self_index is not None:
         self_lo = jnp.repeat(self_index, q_rep) * sub
-    if config.refine_mode == "exact":
+    if cand_in is not None:
+        if use_t2 or q_rep > 1:
+            raise ValueError(
+                "sharded candidate reuse requires the plain nl shape "
+                "(whole-block query rows, no tier2)"
+            )
+        cand_sub, count_sub = cand_in
+        ovf = jnp.zeros((), jnp.bool_)
+    elif config.refine_mode == "exact":
         # same refinement as engine.step._density_forces_pallas_nl:
         # candidate-table PARTICLES vs gap-split dilated query boxes
         if q_rep > 1:
@@ -151,7 +172,7 @@ def _nl_passes(
         else:
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf = tiles_ops.refine_candidates_exact(
-            cand_q, count_q, qlo, qhi, pos_fields.position, params.h, sub,
+            cand_q, count_q, qlo, qhi, pos_fields.position, h_refine, sub,
             cap_sub, self_lo=self_lo, self_width=sub,
         )
     else:
@@ -166,7 +187,7 @@ def _nl_passes(
         else:
             qlo, qhi = bmin, bmax
         cand_sub, count_sub, ovf = tiles_ops.refine_candidates(
-            cand_q, count_q, qlo, qhi, sub_lo, sub_hi, params.h, sub,
+            cand_q, count_q, qlo, qhi, sub_lo, sub_hi, h_refine, sub,
             cap_sub, self_lo=self_lo, self_width=sub,
         )
     mass = params.particle_mass
@@ -241,7 +262,7 @@ def _nl_passes(
                 valid_s, d, params.fluid_density
             ),
             make_c16_pack=make_c16_pack,
-        )
+        ) + (None,)
     # q32 force pass (engine/step.py force_query_rows rationale):
     # per-QUERY-SUBGROUP hit lists halve the true-hit pair volume
     force_q32 = (
@@ -346,7 +367,7 @@ def _nl_passes(
         ovf.astype(jnp.int32) * FLAG_CAPACITY_SUB
         + ovf_h.astype(jnp.int32) * FLAG_CAPACITY_HIT
     )
-    return density, pressure, accel, nl_flags
+    return density, pressure, accel, nl_flags, (cand_sub, count_sub)
 
 
 def _local_substep(
@@ -359,6 +380,8 @@ def _local_substep(
     exchange: str = "all_gather",
     halo_max: int = 0,
     halo_hops: int = 1,
+    do_sort=True,
+    cand_in=None,
 ):
     """Body run per shard under shard_map. state arrays are the local
     shard (n_local = padded_n / n_shards rows).
@@ -375,11 +398,39 @@ def _local_substep(
       over the Morton ring, ``halo_hops`` hops in each direction;
       traffic independent of n_shards. Raises FLAG_EXCHANGE when a
       spatially-neighbouring shard is out of hop range.
+
+    Cadence (StepConfig.sort_interval / cand_interval, the sharded twin
+    of engine.step.substep's): ``do_sort`` True sorts locally, False
+    statically skips, a traced bool gates on device. ``cand_in`` is the
+    carried candidate dict of a build substep ({cand_sub, count_sub,
+    anchor} + {surf_idx, surf_valid} for halo/ring) — reuse substeps
+    skip the search/refine AND the surface-set/box exchange, keeping
+    only the per-substep FIELD exchanges. Sound because shard ownership
+    is static (particles never migrate between shards — the halo
+    machinery covers cross-shard neighbours), local order is pinned by
+    the skipped sorts, and the carried surface sets/refined lists were
+    built with the (1 + cand_slack) h dilation whose staleness guard
+    (global pmax of displacement-since-anchor) is re-checked here every
+    reuse substep.
     """
     cfg = config.tile_config()
     terms = params.precomputed()
     n_local = state.position.shape[0]
     shard = jax.lax.axis_index(AXIS)
+    reuse_on = config.cand_interval > 1
+    is_reuse = cand_in is not None
+    if reuse_on and config.neighbor_impl != "pallas":
+        raise ValueError("sharded candidate reuse requires the pallas impl")
+    if is_reuse and do_sort is not False:
+        raise ValueError(
+            "sharded reuse substeps must statically skip the sort "
+            "(the carried ids index the build substep's local order)"
+        )
+    # build-substep search dilation for the reuse window (the same
+    # superset + staleness-guard argument as engine/step.py)
+    h_search = (
+        params.h * (1.0 + config.cand_slack) if reuse_on else params.h
+    )
 
     # ---- 1. global bounds (pmin/pmax over real particles only);
     # sentinel padding rows are detected by their far-away positions
@@ -411,11 +462,39 @@ def _local_substep(
         grid_ops.grid_exceeds_sort_bits(grid.grid_size)
     )
 
-    # ---- 2. local Morton sort
-    codes = grid_ops.locate_in_grid(state.position, grid)
-    codes = jnp.where(valid, codes, tiles_ops.SENTINEL_CODE)
-    state_s, sorted_codes, order = grid_ops.sort_by_cell(state, codes)
-    valid_s = jnp.take(valid, order, axis=0)
+    # ---- 2. local Morton sort (pinned to build substeps under reuse)
+    if do_sort is True:
+        codes = grid_ops.locate_in_grid(state.position, grid)
+        codes = jnp.where(valid, codes, tiles_ops.SENTINEL_CODE)
+        state_s, _, order = grid_ops.sort_by_cell(state, codes)
+        valid_s = jnp.take(valid, order, axis=0)
+    elif do_sort is False:  # statically skipped (reuse substeps)
+        state_s, valid_s = state, valid
+    else:  # traced scalar: gate the sort on device
+        codes = grid_ops.locate_in_grid(state.position, grid)
+        codes = jnp.where(valid, codes, tiles_ops.SENTINEL_CODE)
+        state_s = jax.lax.cond(
+            do_sort,
+            lambda s, c: grid_ops.sort_by_cell(s, c)[0],
+            lambda s, c: s.replace(grid_index=c),
+            state, codes,
+        )
+        # recompute validity in whichever order the branch produced
+        valid_s = jnp.isfinite(state_s.position).all(axis=1) & (
+            jnp.abs(state_s.position).max(axis=1) < 1.0e30
+        )
+
+    # staleness guard for carried candidate state: pairs (incl. remote
+    # ones) close by at most 2 * the GLOBAL max displacement since the
+    # build anchor — pmax makes the check global
+    stale_flag = jnp.int32(0)
+    if is_reuse:
+        d2 = jnp.sum((state_s.position - cand_in["anchor"]) ** 2, axis=1)
+        d2max = jax.lax.pmax(
+            jnp.max(jnp.where(valid_s, d2, 0.0)), AXIS
+        )
+        stale = 4.0 * d2max > (config.cand_slack * params.h) ** 2
+        stale_flag = stale.astype(jnp.int32) * FLAG_CAND_STALE
 
     # ---- 3. blocked fields + global candidate table
     blocked = tiles_ops.make_blocked(
@@ -433,8 +512,9 @@ def _local_substep(
     # all_gather mode; halo/ring modes exchange surface blocks below)
     gather = lambda a: jax.lax.all_gather(a, AXIS, tiled=True)
     if exchange not in ("halo", "ring"):
-        g_bmin = gather(bmin)
-        g_bmax = gather(bmax)
+        if not is_reuse:
+            g_bmin = gather(bmin)
+            g_bmax = gather(bmax)
         g_blocked_pos = gather(blocked.position)
         g_real = gather(blocked.real)
         g_gid = gather(blocked.gid)
@@ -452,42 +532,11 @@ def _local_substep(
         # would have contributed raise FLAG_EXCHANGE (increase
         # halo_hops), checked conservatively against shard AABBs.
         s_n = n_shards
-        sh_min = gather(local_min[None, :])  # (S, 3) — tiny
-        sh_max = gather(local_max[None, :])
-        hdil = jnp.float32(params.h)
-        jidx = jnp.arange(s_n, dtype=jnp.int32)
+        hdil = jnp.float32(h_search)
         # forward/backward hop budgets with disjoint reach (full ring
         # coverage when 2*halo_hops >= S-1)
         r_fwd = min(halo_hops, s_n // 2)
         r_bwd = min(halo_hops, s_n - 1 - r_fwd)
-        fwd_d = jnp.mod(jidx - shard, s_n)
-        bwd_d = jnp.mod(shard - jidx, s_n)
-        near = ((fwd_d >= 1) & (fwd_d <= r_fwd)) | (
-            (bwd_d >= 1) & (bwd_d <= r_bwd)
-        )
-        sh_overlap = jnp.all(
-            (local_min[None, :] - hdil <= sh_max)
-            & (local_max[None, :] + hdil >= sh_min),
-            axis=-1,
-        )
-        exchange_bad = jnp.any(sh_overlap & ~near & (jidx != shard))
-
-        # surface blocks: dilated split boxes reaching any near shard
-        inf = jnp.float32(3.0e38)
-        near_lo = jnp.where(near[:, None], sh_min, inf)
-        near_hi = jnp.where(near[:, None], sh_max, -inf)
-        reach = jnp.any(
-            jnp.all(
-                (bmin[:, :, None, :] - hdil <= near_hi[None, None, :, :])
-                & (bmax[:, :, None, :] + hdil >= near_lo[None, None, :, :]),
-                axis=-1,
-            ),
-            axis=(1, 2),
-        )
-        surf_idx, surf_valid, surf_ovf = _compact_mask(reach, halo_max)
-
-        def take_blocks(a):
-            return jnp.take(a, surf_idx, axis=0)
 
         fwd_perm = [(i, (i + 1) % s_n) for i in range(s_n)]
         bwd_perm = [(i, (i - 1) % s_n) for i in range(s_n)]
@@ -507,20 +556,71 @@ def _local_substep(
                 received.append(buf)
             return received
 
-        boxes = ring_exchange(
-            dict(
-                bmin=jnp.where(surf_valid[:, None, None], take_blocks(bmin), inf),
-                bmax=jnp.where(surf_valid[:, None, None], take_blocks(bmax), -inf),
-            )
-        )
-        comb_bmin = jnp.concatenate([bmin] + [b["bmin"] for b in boxes], axis=0)
-        comb_bmax = jnp.concatenate([bmax] + [b["bmax"] for b in boxes], axis=0)
         self_index = jnp.arange(nb_local, dtype=jnp.int32)
-        cand, count, cand_ovf = tiles_ops.candidate_blocks(
-            bmin, bmax, params.h, cfg.max_candidates, comb_bmin, comb_bmax,
-            self_index=self_index,
-        )
-        overflow = cand_ovf | surf_ovf
+        inf = jnp.float32(3.0e38)
+        if is_reuse:
+            # carried surface set: the combined-table layout must match
+            # the build substep's for the carried refined ids to stay
+            # valid; the staleness guard above bounds all drift
+            surf_idx = cand_in["surf_idx"]
+            surf_valid = cand_in["surf_valid"]
+            cand = count = None
+            overflow = jnp.zeros((), jnp.bool_)
+        else:
+            sh_min = gather(local_min[None, :])  # (S, 3) — tiny
+            sh_max = gather(local_max[None, :])
+            jidx = jnp.arange(s_n, dtype=jnp.int32)
+            fwd_d = jnp.mod(jidx - shard, s_n)
+            bwd_d = jnp.mod(shard - jidx, s_n)
+            near = ((fwd_d >= 1) & (fwd_d <= r_fwd)) | (
+                (bwd_d >= 1) & (bwd_d <= r_bwd)
+            )
+            sh_overlap = jnp.all(
+                (local_min[None, :] - hdil <= sh_max)
+                & (local_max[None, :] + hdil >= sh_min),
+                axis=-1,
+            )
+            exchange_bad = jnp.any(sh_overlap & ~near & (jidx != shard))
+
+            # surface blocks: dilated split boxes reaching a near shard
+            near_lo = jnp.where(near[:, None], sh_min, inf)
+            near_hi = jnp.where(near[:, None], sh_max, -inf)
+            reach = jnp.any(
+                jnp.all(
+                    (bmin[:, :, None, :] - hdil <= near_hi[None, None, :, :])
+                    & (bmax[:, :, None, :] + hdil >= near_lo[None, None, :, :]),
+                    axis=-1,
+                ),
+                axis=(1, 2),
+            )
+            surf_idx, surf_valid, surf_ovf = _compact_mask(reach, halo_max)
+
+            boxes = ring_exchange(
+                dict(
+                    bmin=jnp.where(
+                        surf_valid[:, None, None],
+                        jnp.take(bmin, surf_idx, axis=0), inf,
+                    ),
+                    bmax=jnp.where(
+                        surf_valid[:, None, None],
+                        jnp.take(bmax, surf_idx, axis=0), -inf,
+                    ),
+                )
+            )
+            comb_bmin = jnp.concatenate(
+                [bmin] + [b["bmin"] for b in boxes], axis=0
+            )
+            comb_bmax = jnp.concatenate(
+                [bmax] + [b["bmax"] for b in boxes], axis=0
+            )
+            cand, count, cand_ovf = tiles_ops.candidate_blocks(
+                bmin, bmax, h_search, cfg.max_candidates,
+                comb_bmin, comb_bmax, self_index=self_index,
+            )
+            overflow = cand_ovf | surf_ovf
+
+        def take_blocks(a):
+            return jnp.take(a, surf_idx, axis=0)
 
         def combined_fields(blk):
             recv = ring_exchange(
@@ -549,46 +649,58 @@ def _local_substep(
         force_fields = combined_fields
     elif exchange == "halo":
         # -------- surface-block halo exchange --------
-        # shard spatial boxes (from real-particle bounds computed above)
-        sh_min = gather(local_min[None, :])  # (n_shards, 3)
-        sh_max = gather(local_max[None, :])
-        # does block b's dilated bbox reach any REMOTE shard's box?
-        hdil = jnp.float32(params.h)
-        other = jnp.arange(n_shards) != shard  # (n_shards,)
-        # bmin/bmax are (nb_l, 2, 3) split boxes
-        reach = jnp.any(
-            other[None, None, :]
-            & jnp.all(
-                (bmin[:, :, None, :] - hdil <= sh_max[None, None, :, :])
-                & (bmax[:, :, None, :] + hdil >= sh_min[None, None, :, :]),
-                axis=-1,
-            ),
-            axis=(1, 2),
-        )  # (nb_l,)
-        surf_idx, surf_valid, surf_ovf = _compact_mask(reach, halo_max)
+        self_index = jnp.arange(nb_local, dtype=jnp.int32)
+        inf = jnp.float32(3.0e38)
+        row_shard = jnp.arange(n_shards * halo_max, dtype=jnp.int32) // halo_max
+        mine = row_shard == shard
+        if is_reuse:
+            surf_idx = cand_in["surf_idx"]
+            surf_valid = cand_in["surf_valid"]
+            cand = count = None
+            overflow = jnp.zeros((), jnp.bool_)
+        else:
+            # shard spatial boxes (from the real-particle bounds above)
+            sh_min = gather(local_min[None, :])  # (n_shards, 3)
+            sh_max = gather(local_max[None, :])
+            # does block b's dilated bbox reach any REMOTE shard's box?
+            hdil = jnp.float32(h_search)
+            other = jnp.arange(n_shards) != shard  # (n_shards,)
+            # bmin/bmax are (nb_l, 2, 3) split boxes
+            reach = jnp.any(
+                other[None, None, :]
+                & jnp.all(
+                    (bmin[:, :, None, :] - hdil <= sh_max[None, None, :, :])
+                    & (bmax[:, :, None, :] + hdil >= sh_min[None, None, :, :]),
+                    axis=-1,
+                ),
+                axis=(1, 2),
+            )  # (nb_l,)
+            surf_idx, surf_valid, surf_ovf = _compact_mask(reach, halo_max)
+
+            s_bmin = jnp.where(
+                surf_valid[:, None, None], jnp.take(bmin, surf_idx, axis=0),
+                inf,
+            )
+            s_bmax = jnp.where(
+                surf_valid[:, None, None], jnp.take(bmax, surf_idx, axis=0),
+                -inf,
+            )
+            g_s_bmin = gather(s_bmin)  # (n_shards*halo_max, 2, 3)
+            g_s_bmax = gather(s_bmax)
+            # my own surface rows must not duplicate my local blocks
+            g_s_bmin = jnp.where(mine[:, None, None], inf, g_s_bmin)
+            g_s_bmax = jnp.where(mine[:, None, None], -inf, g_s_bmax)
+
+            comb_bmin = jnp.concatenate([bmin, g_s_bmin], axis=0)
+            comb_bmax = jnp.concatenate([bmax, g_s_bmax], axis=0)
+            cand, count, cand_ovf = tiles_ops.candidate_blocks(
+                bmin, bmax, h_search, cfg.max_candidates,
+                comb_bmin, comb_bmax, self_index=self_index,
+            )
+            overflow = cand_ovf | surf_ovf
 
         def take_blocks(a):
             return jnp.take(a, surf_idx, axis=0)
-
-        inf = jnp.float32(3.0e38)
-        s_bmin = jnp.where(surf_valid[:, None, None], take_blocks(bmin), inf)
-        s_bmax = jnp.where(surf_valid[:, None, None], take_blocks(bmax), -inf)
-        g_s_bmin = gather(s_bmin)  # (n_shards*halo_max, 2, 3)
-        g_s_bmax = gather(s_bmax)
-        # my own surface rows must not duplicate my local blocks
-        row_shard = jnp.arange(n_shards * halo_max, dtype=jnp.int32) // halo_max
-        mine = row_shard == shard
-        g_s_bmin = jnp.where(mine[:, None, None], inf, g_s_bmin)
-        g_s_bmax = jnp.where(mine[:, None, None], -inf, g_s_bmax)
-
-        comb_bmin = jnp.concatenate([bmin, g_s_bmin], axis=0)
-        comb_bmax = jnp.concatenate([bmax, g_s_bmax], axis=0)
-        self_index = jnp.arange(nb_local, dtype=jnp.int32)
-        cand, count, cand_ovf = tiles_ops.candidate_blocks(
-            bmin, bmax, params.h, cfg.max_candidates, comb_bmin, comb_bmax,
-            self_index=self_index,
-        )
-        overflow = cand_ovf | surf_ovf
 
         def combined_fields(blk):
             surf = tiles_ops.BlockedFields(
@@ -612,10 +724,14 @@ def _local_substep(
         force_fields = combined_fields
     else:
         self_index = shard * nb_local + jnp.arange(nb_local, dtype=jnp.int32)
-        cand, count, overflow = tiles_ops.candidate_blocks(
-            bmin, bmax, params.h, cfg.max_candidates, g_bmin, g_bmax,
-            self_index=self_index,
-        )
+        if is_reuse:
+            cand = count = None
+            overflow = jnp.zeros((), jnp.bool_)
+        else:
+            cand, count, overflow = tiles_ops.candidate_blocks(
+                bmin, bmax, h_search, cfg.max_candidates, g_bmin, g_bmax,
+                self_index=self_index,
+            )
 
         pos_fields = tiles_ops.BlockedFields(
             position=g_blocked_pos,
@@ -638,15 +754,33 @@ def _local_substep(
 
     # ---- density + forces over the exchanged candidate tables,
     # by the configured backend (tiles, or the nl Pallas kernels)
+    cand_out = None
     if config.neighbor_impl == "pallas":
-        density, pressure, accel, nl_flags = _nl_passes(
+        density, pressure, accel, nl_flags, cand_tables = _nl_passes(
             state_s, blocked, bmin, bmax, cand, count,
             pos_fields, force_fields, valid_s,
             shard * n_local, params, terms, config,
             center=0.5 * (pos_min + pos_max),
             self_index=self_index,
+            cand_in=(
+                (cand_in["cand_sub"], cand_in["count_sub"])
+                if is_reuse else None
+            ),
+            h_search=h_search if reuse_on else None,
         )
         cap_flags = overflow.astype(jnp.int32) * FLAG_CAPACITY + nl_flags
+        if reuse_on:
+            if is_reuse:
+                cand_out = cand_in  # pass the carry through unchanged
+            else:
+                cand_out = dict(
+                    cand_sub=cand_tables[0],
+                    count_sub=cand_tables[1],
+                    anchor=state_s.position,
+                )
+                if exchange in ("halo", "ring"):
+                    cand_out["surf_idx"] = surf_idx
+                    cand_out["surf_valid"] = surf_valid
     else:
         density = tiles_ops.density_pass(
             blocked, cand, count, params, terms, cfg, cand_fields=pos_fields
@@ -720,6 +854,7 @@ def _local_substep(
         cap_flags
         + grid_bad.astype(jnp.int32) * FLAG_GRID_DIM
         + exchange_bad.astype(jnp.int32) * FLAG_EXCHANGE
+        + stale_flag
     )
     # cross-shard combine must be a bitwise OR, not a plain max: two
     # shards flagging DIFFERENT bits (e.g. CAPACITY_SUB=8 on one,
@@ -728,6 +863,8 @@ def _local_substep(
     bit = jnp.arange(8, dtype=jnp.int32)
     bits = jax.lax.pmax((flags >> bit) & 1, AXIS)
     flags = jnp.sum(bits << bit)
+    if reuse_on:
+        return final_state, dt_out, flags, cand_out
     return final_state, dt_out, flags
 
 
@@ -748,8 +885,89 @@ def _local_frame(
     (state, dt, timeleft, flags, k) through a lax.while_loop whose body
     is the full _local_substep (collectives included), bounded by
     config.substeps_per_dispatch. The host fetches ONE scalar per
-    dispatch instead of one dt per substep."""
+    dispatch instead of one dt per substep.
+
+    Carries the single-chip cadence features under the mesh
+    (StepConfig.sort_interval / cand_interval): re-sorts and candidate
+    rebuilds run every k-th substep, with frame_jit's PREDICTIVE
+    staleness check (global pmax of displacement-since-anchor) forcing
+    a rebuild before any reuse substep could miss pairs."""
     cap = jnp.int32(config.substeps_per_dispatch)
+    interval = int(config.sort_interval)
+    ci = int(config.cand_interval)
+    run = partial(
+        _local_substep, params=params, scene=scene, config=config,
+        n_shards=n_shards, exchange=exchange, halo_max=halo_max,
+        halo_hops=halo_hops,
+    )
+
+    if ci > 1:
+        if interval % ci:
+            raise ValueError(
+                "sort_interval must be a multiple of cand_interval "
+                "(re-sorts must coincide with candidate rebuilds)"
+            )
+        n_local = state.position.shape[0]
+        cfgt = config.tile_config()
+        nb_local = n_local // cfgt.block_size
+        # the refine's output width is min(cap, sub * M): the sort-
+        # compaction can't emit more slots than the candidate key plane
+        # has (tiles._self_priority_sort slices the sorted keys)
+        sub = cfgt.block_size // (16 if config.density_sub16 else 32)
+        width = min(
+            config.max_candidates_sub, sub * config.max_candidates
+        )
+        tables0 = dict(
+            cand_sub=jnp.zeros((nb_local, width), jnp.int32),
+            count_sub=jnp.zeros((nb_local,), jnp.int32),
+            anchor=jnp.zeros((n_local, 3), jnp.float32),
+        )
+        if exchange in ("halo", "ring"):
+            tables0["surf_idx"] = jnp.zeros((halo_max,), jnp.int32)
+            tables0["surf_valid"] = jnp.zeros((halo_max,), jnp.bool_)
+
+        slack2 = jnp.float32((config.cand_slack * params.h) ** 2)
+
+        def cond(carry):
+            _, _, tl, _, k, _ = carry
+            return (tl > 0.0) & (k < cap)
+
+        def body(carry):
+            st, dt_cur, tl, flags, k, tables = carry
+
+            def run_build(op):
+                s, d = op
+                do_sort = True if interval <= 1 else (k % interval == 0)
+                return run(s, d, do_sort=do_sort)
+
+            def run_reuse(op):
+                s, d = op
+                return run(s, d, do_sort=False, cand_in=tables)
+
+            # PREDICTIVE staleness (engine/step.frame_jit rationale):
+            # decide rebuild-vs-reuse BEFORE the substep from the
+            # GLOBAL displacement since the carried anchor, so fast
+            # flows degrade to rebuild-every-substep instead of
+            # flagging mid-frame
+            d2 = jnp.sum((st.position - tables["anchor"]) ** 2, axis=1)
+            ok = jnp.abs(st.position).max(axis=1) < 1.0e30
+            d2max = jax.lax.pmax(
+                jnp.max(jnp.where(ok, d2, 0.0)), AXIS
+            )
+            stale_now = 4.0 * d2max > slack2
+            st, dt_next, step_flags, tables = jax.lax.cond(
+                (k % ci == 0) | stale_now, run_build, run_reuse,
+                (st, dt_cur),
+            )
+            tl = tl - dt_next
+            dt_next = jnp.where(tl < dt_next, tl, dt_next)
+            return st, dt_next, tl, flags | step_flags, k + 1, tables
+
+        state, dt, timeleft, flags, _, _ = jax.lax.while_loop(
+            cond, body,
+            (state, dt, timeleft, jnp.int32(0), jnp.int32(0), tables0),
+        )
+        return state, dt, timeleft, flags
 
     def cond(carry):
         _, _, tl, _, k = carry
@@ -757,10 +975,8 @@ def _local_frame(
 
     def body(carry):
         st, dt_cur, tl, flags, k = carry
-        st, dt_next, step_flags = _local_substep(
-            st, dt_cur, params, scene, config, n_shards,
-            exchange=exchange, halo_max=halo_max, halo_hops=halo_hops,
-        )
+        do_sort = True if interval <= 1 else (k % interval == 0)
+        st, dt_next, step_flags = run(st, dt_cur, do_sort=do_sort)
         tl = tl - dt_next
         dt_next = jnp.where(tl < dt_next, tl, dt_next)
         return st, dt_next, tl, flags | step_flags, k + 1
@@ -826,7 +1042,18 @@ def make_sharded_substep(
     Expects state arrays pre-padded so N_padded is divisible by
     (n_shards * block_size); see :func:`pad_for_mesh`. ``exchange`` /
     ``halo_max``: see :func:`_local_substep`.
+
+    Candidate reuse is pinned off here: this per-substep entry point
+    serves the engine's SLOW path, whose host callbacks may mutate
+    positions between substeps — which would silently stale any carried
+    tables (the same rationale as the single-chip slow path). The
+    device-side frame loop (:func:`make_sharded_frame`) carries the
+    full cadence.
     """
+    import dataclasses
+
+    if config.cand_interval > 1:
+        config = dataclasses.replace(config, cand_interval=1)
     n_shards = mesh.shape[AXIS]
     pspec = P(AXIS)
     state_specs = ParticleState(
@@ -997,3 +1224,23 @@ def dryrun(n_devices: int) -> None:
     real3 = np.abs(pos3).max(axis=1) < 1.0e30
     assert real3.sum() == params.particles_count
     assert np.isfinite(pos3[real3]).all()
+
+    # the CADENCED sharded frame (r4): sort_interval + cand_interval
+    # under the mesh — skipped local sorts, carried refined lists, the
+    # predictive global staleness check (engine/step.frame_jit's twin)
+    config_c = StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        block_size=config.block_size, max_candidates=config.max_candidates,
+        max_candidates_sub=96, max_candidates_hit=96,
+        sort_interval=2, cand_interval=2, cand_slack=0.3,
+    )
+    frame_c = make_sharded_frame(mesh, params, dev_scene, config_c)
+    out4, dt4, timeleft4, flags4 = frame_c(
+        state, jnp.float32(params.max_dt), jnp.float32(params.frame_time)
+    )
+    assert not int(flags4), int(flags4)
+    assert float(timeleft4) <= 0.0 or float(dt4) > 0.0
+    pos4 = np.asarray(out4.position)
+    real4 = np.abs(pos4).max(axis=1) < 1.0e30
+    assert real4.sum() == params.particles_count
+    assert np.isfinite(pos4[real4]).all()

@@ -1,5 +1,7 @@
 """Multi-chip sharded step on the virtual 8-device CPU mesh."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -347,6 +349,64 @@ class TestShardedStep:
         # (sph_simulation.cpp:391-394); f32-vs-f64 timeleft accumulation
         # makes it match only absolutely
         assert float(dt) == pytest.approx(float(dtf), abs=1e-7)
+
+    @pytest.mark.parametrize("exchange", ["all_gather", "ring"])
+    def test_sharded_frame_cadence_matches_plain(self, exchange):
+        """The cadenced sharded frame (sort_interval + cand_interval
+        under the mesh, r4) must land within fp-noise distance of the
+        rebuild-every-substep sharded frame: skipped sorts only change
+        processing order, and the carried (dilated) candidate lists are
+        supersets whose extras the exact r<h cutoff zeroes. The ring
+        case additionally pins the carried SURFACE sets (the combined
+        candidate table layout must stay stable across reuse substeps).
+        """
+        from libclsph_tpu.parallel.sharded_step import make_sharded_frame
+
+        params = make_params(WATER, n=512)
+        base = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl",
+            block_size=64, max_candidates=32,
+            max_candidates_sub=96, max_candidates_hit=96,
+        )
+        cad = dataclasses.replace(
+            base, sort_interval=2, cand_interval=2, cand_slack=0.3
+        )
+        mesh = make_mesh(jax.devices()[:8])
+        state0 = shard_state(
+            pad_for_mesh(init_state(params), params, mesh, base), mesh
+        )
+        dt0 = jnp.float32(params.max_dt)
+        nb_local = state0.position.shape[0] // 8 // base.block_size
+        kw = {}
+        if exchange == "ring":
+            kw = dict(halo_max=nb_local, halo_hops=4)
+
+        def run(cfg):
+            frame = make_sharded_frame(
+                mesh, params, None, cfg, exchange=exchange, **kw
+            )
+            st, dt, tl = state0, dt0, jnp.float32(params.frame_time)
+            while float(tl) > 0.0:
+                st, dt, tl, flags = frame(st, dt, tl)
+                assert not int(flags), int(flags)
+            return st
+
+        st_a = run(base)
+        st_b = run(cad)
+
+        # the cadenced run sorts less often, so final ROW ORDER differs
+        # (per shard); compare as position-keyed sets like the other
+        # mesh tests
+        def keyed(st):
+            pos = np.asarray(st.position)
+            real = np.abs(pos).max(axis=1) < 1e30
+            order = np.lexsort(np.round(pos[real], 5).T)
+            return pos[real][order], np.asarray(st.velocity)[real][order]
+
+        pa, va = keyed(st_a)
+        pb, vb = keyed(st_b)
+        np.testing.assert_allclose(pa, pb, atol=1e-4)
+        np.testing.assert_allclose(va, vb, atol=1e-3)
 
     def test_multiple_steps_stable(self):
         params = make_params(WATER, n=512)
