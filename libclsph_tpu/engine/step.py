@@ -179,8 +179,12 @@ class StepConfig:
     # (1 + cand_slack) * h at build time — supersets of the true tile
     # hits while the staleness guard holds, so skipping the rest is
     # physics-exact (the same argument as hit_compact). Only active on
-    # the density_sub16 + cand_interval > 1 production shape.
-    density_gate: bool = True
+    # the density_sub16 + cand_interval > 1 shape. MEASURED A LOSER on
+    # v5e (r4: 264 vs 188 ms at 1M, 16.5 vs 12.6 at 64k — the 4x
+    # per-subgroup narrow dots + per-panel predication cost more than
+    # the ~40% pair-volume cut); default OFF, kept as an
+    # equivalence-tested variant.
+    density_gate: bool = False
     adaptive_dt: bool = True
     # frame_jit dispatch bound: a stiff impact can floor the adaptive
     # dt at DT_MIN (1e-5 s), blowing a frame up to ~1.7k substeps — an

@@ -102,8 +102,21 @@ PRESETS = {
         "shower-monkey-256k",
         WATER,
         simulation_config(particles_count=262144),
+        "monkey.obj",
+        "256k shower.obj-emitter onto the monkey.obj obstacle "
+        "(BASELINE matrix #4). The emitter is USER CODE via the "
+        "pre_frame write-back hook, exactly like the reference "
+        "(sph_simulation.cpp:730-748) — run it with "
+        "experiments/emitter_run.py; the bare preset (no emitter) "
+        "rains the initial lattice past the obstacle once.",
+    ),
+    "monkeybox-256k": Preset(
+        "monkeybox-256k",
+        WATER,
+        simulation_config(particles_count=262144),
         "monkeybox.obj",
-        "256k water onto an obstacle in a box (mesh-collision heavy)",
+        "256k water onto an obstacle in a box (mesh-collision heavy, "
+        "no emitter — the CLI-only stand-in)",
     ),
     "river-1m": Preset(
         "river-1m",
