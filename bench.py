@@ -132,7 +132,7 @@ def main():
         sys.exit("--cand-interval must divide --sort-interval")
     if cfg.cand_interval > 1 and (
         cfg.neighbor_impl != "pallas" or cfg.pallas_variant != "nl"
-        or cfg.nl_query_rows < cfg.block_size or cfg.tier2_frac > 0
+        or cfg.nl_query_rows < cfg.block_size
     ):
         import dataclasses as _dc
 
@@ -195,7 +195,9 @@ def main():
             cfg.neighbor_impl == "pallas"
             and cfg.pallas_variant == "nl"
             and cfg.nl_query_rows >= cfg.block_size
-            and not cfg.density_sub16  # t2 force panels are 32-wide
+            # r4: tier2 composes with density_sub16 (c16_all mode)
+            # and with candidate reuse (the carry is the tier-2-width
+            # table; routing is recomputed per substep from counts)
         )
         updates = {}
         if ovf & FLAG_CAPACITY:

@@ -1,0 +1,307 @@
+"""Collision-active fidelity probe (VERDICT r3 item #5): settle a 64k
+water dam-break ONTO cube.obj, then compare one production substep's
+density, acceleration AND post-collision position/velocity against a
+float64 oracle that recomputes the whole chain — pair sums, leapfrog,
+and the DF collision response (bake + trilinear + respond,
+collisionsv2.cl:57-138/:249-336) — entirely in f64 on the same scene
+geometry.
+
+The free-space probe (fidelity_64k.py) certifies the kernel numerics;
+this one closes the loop on the DF gradient response feeding back into
+the trajectory. Rows whose f64 signed distance sits within BAND of the
+0.02 contact threshold are excluded (the collision branch is
+discontinuous there — any fp perturbation flips it; same protocol as
+the r3 surface-tension-threshold exclusion) and their count is
+asserted rare.
+
+Run ON TPU:  python experiments/fidelity_collision.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libclsph_tpu.core.params import derive_parameters
+from libclsph_tpu.core.state import init_state
+from libclsph_tpu.engine.step import StepConfig, substep_jit
+from libclsph_tpu.ops import collisions as C
+from libclsph_tpu.scene.scene import Scene
+
+platform = jax.devices()[0].platform
+print(f"platform={platform}", file=sys.stderr, flush=True)
+if platform != "tpu" and not os.environ.get("FIDELITY_ALLOW_CPU"):
+    sys.exit("refusing to run on CPU fallback (set FIDELITY_ALLOW_CPU=1)")
+
+N = int(os.environ.get("FIDELITY_N", "65536"))
+SETTLE = int(os.environ.get("FIDELITY_SETTLE", "48"))
+ROWS = 512
+BAND = 2e-6  # contact-threshold exclusion band (f32 ulp scale of d)
+
+fluid = dict(fluid_density=998.29, dynamic_viscosity=3.5, restitution=0,
+             k=100, surface_tension_threshold=7.065,
+             surface_tension=0.0728, particles_inside_influence_radius=20)
+sim = dict(particles_count=N, particle_mass=0.05, simulation_time=3,
+           target_fps=60, simulation_scale=0.1,
+           constant_acceleration=dict(x=0, y=-9.8, z=0))
+params = derive_parameters(fluid, sim)
+cfg = StepConfig(neighbor_impl="pallas", pallas_variant="nl",
+                 max_candidates=96, max_candidates_sub=192,
+                 max_candidates_hit=96, force_query_rows=32,
+                 force_sub16=True, density_sub16=True)
+cfg_probe = StepConfig(
+    **{**cfg.__dict__, "adaptive_dt": False}
+)
+
+scene = Scene.load("cube.obj", params.h * 2, scenes_dir="scenes")
+dev_scene = C.build_device_scene(scene)
+
+state = init_state(params)
+dt = jnp.float32(params.max_dt)
+t0 = time.perf_counter()
+for i in range(SETTLE):
+    state, dt, flags = substep_jit(state, dt, params, dev_scene, cfg)
+assert not int(flags), int(flags)
+print(f"settled {SETTLE} substeps in {time.perf_counter() - t0:.1f}s "
+      f"(dt={float(dt):.2e})", file=sys.stderr, flush=True)
+
+# fetch the settled (already Morton-sorted) state; the probe substep
+# statically skips the sort so its outputs are row-matched 1:1
+pos0 = np.asarray(state.position, np.float64)
+vel0 = np.asarray(state.velocity, np.float64)
+iv0 = np.asarray(state.intermediate_velocity, np.float64)
+dt_probe = float(dt)
+out = substep_jit(state, jnp.float32(dt_probe), params, dev_scene,
+                  cfg_probe, do_sort=False)[0]
+rho_dev = np.asarray(out.density, np.float64)
+acc_dev = np.asarray(out.acceleration, np.float64)
+pos_dev = np.asarray(out.position, np.float64)
+vel_dev = np.asarray(out.velocity, np.float64)
+
+h = float(params.h)
+mass = float(params.particle_mass)
+
+# ---- f64 density for ALL particles (KD-tree pair list)
+from scipy.spatial import cKDTree
+
+c_poly6 = 315.0 / (64.0 * np.pi * h**9)
+c_grad = -945.0 / (32.0 * np.pi * h**9)
+c_lap = -945.0 / (32.0 * np.pi * h**9)
+c_spiky = -45.0 / (np.pi * h**6)
+c_visc = 45.0 / (np.pi * h**6)
+
+tree = cKDTree(pos0)
+pairs = tree.query_pairs(h, output_type="ndarray")
+pi, pj = pairs[:, 0], pairs[:, 1]
+r2p = ((pos0[pi] - pos0[pj]) ** 2).sum(axis=1)
+tp = np.maximum(h * h - r2p, 0.0) ** 3
+rho = np.full(N, mass * c_poly6 * h**6)
+np.add.at(rho, pi, mass * c_poly6 * tp)
+np.add.at(rho, pj, mass * c_poly6 * tp)
+press = params.K * ((rho / params.fluid_density) ** 7 - 1.0)
+rms_rho = float(np.sqrt(np.mean(((rho_dev - rho) / rho) ** 2)))
+print(f"density: RMS rel {rms_rho:.3e}  "
+      f"max rel {np.max(np.abs(rho_dev - rho) / rho):.3e}")
+
+# ---- f64 accel + advect + DF collide for a row subsample.
+# Bias half the sample to particles NEAR the floor so the collision
+# branch is actually exercised.
+rng = np.random.default_rng(7)
+low = np.argsort(pos0[:, 1])[: 4 * ROWS]
+rows = np.unique(np.concatenate([
+    rng.choice(N, ROWS // 2, replace=False),
+    rng.choice(low, ROWS // 2, replace=False),
+]))
+
+acc = np.zeros((len(rows), 3))
+for k, i in enumerate(rows):
+    rv = pos0[i] - pos0
+    r2 = np.einsum("ij,ij->i", rv, rv)
+    r = np.sqrt(r2)
+    incl = r < h
+    sel = incl & (np.arange(N) != i)
+    coeff = press[sel] / rho[sel] ** 2 + press[i] / rho[i] ** 2
+    rr = r[sel]
+    sg = c_spiky * rv[sel] / rr[:, None] * (h - rr[:, None]) ** 2
+    pr = (coeff[:, None] * mass * sg).sum(axis=0)
+    vi = ((vel0[sel] - vel0[i]) * (mass / rho[sel])[:, None] * c_visc
+          * (h - rr)[:, None]).sum(axis=0)
+    t = (h * h - r2)[incl]
+    normal = ((mass / rho[incl])[:, None] * c_grad * rv[incl]
+              * (t**2)[:, None]).sum(axis=0)
+    lap = (mass / rho[incl] * c_lap * t
+           * (3 * h * h - 7 * r2[incl])).sum()
+    total = -rho[i] * pr + params.dynamic_viscosity * vi
+    nlen = np.linalg.norm(normal)
+    if nlen > params.surface_tension_threshold:
+        total += -params.surface_tension * lap * normal / nlen
+    acc[k] = total / rho[i] + np.asarray(params.constant_acceleration)
+
+scale = np.abs(acc).max()
+err = np.abs(acc_dev[rows] - acc)
+print(f"accel: RMS rel {np.sqrt(np.mean(err**2)) / scale:.3e}"
+      f"  max rel {err.max() / scale:.3e}")
+
+# ---- f64 DF oracle on the SAME grid layout as the device bake
+bb_min = np.asarray(dev_scene.bb_min, np.float64)
+bb_max = np.asarray(dev_scene.bb_max, np.float64)
+bb_size = np.asarray(dev_scene.bb_size)
+bb_offset = np.asarray(dev_scene.bb_offset)
+rot = np.asarray(dev_scene.rotations, np.float64)
+trans = np.asarray(dev_scene.translations, np.float64)
+rvert = np.asarray(dev_scene.rvertices, np.float64)
+F = scene.face_count
+
+
+def seg_dist(rpx, rpy, rpz, x1, y1, x2, y2):
+    a, b = rpy - x1, rpz - y1
+    c, d = x2 - x1, y2 - y1
+    lsq = c * c + d * d
+    param = np.where(lsq != 0.0, (a * c + b * d) / np.where(lsq, lsq, 1.0),
+                     -1.0)
+    xx = np.where(param < 0, x1, np.where(param > 1, x2, x1 + param * c))
+    yy = np.where(param < 0, y1, np.where(param > 1, y2, y1 + param * d))
+    return np.sqrt(rpx**2 + (rpz - yy) ** 2 + (rpy - xx) ** 2)
+
+
+def face_distance(p, f):
+    """Signed point-to-face distance in f64 (collisionsv2.cl:92-131)."""
+    rp = rot[f] @ (p + trans[f])
+    rpx, rpy, rpz = rp
+    v1x, v1y, v2x, v2y = rvert[f]
+    denom = v2x * v1y
+    if denom != 0.0:
+        aa = (rpy * v1y) / denom
+        bb = -(rpy * v2y - rpz * v2x) / denom
+        if aa > 0 and bb > 0 and aa + bb < 1:
+            return abs(rpx), rpx
+    d = seg_dist(rpx, rpy, rpz, 0.0, 0.0, v1x, v1y)
+    d = min(d, seg_dist(rpx, rpy, rpz, v1x, v1y, v2x, v2y))
+    d = min(d, seg_dist(rpx, rpy, rpz, 0.0, 0.0, v2x, v2y))
+    return d, rpx
+
+
+def df_at(g):
+    """f64 DF value at flat gridpoint g (first-strict-min sign rule)."""
+    owner = np.searchsorted(bb_offset, g, side="right") - 1
+    size = bb_size[owner]
+    li = g - bb_offset[owner]
+    sx, sz = size[0], size[2]
+    plane = sx * sz
+    x = (li % plane) % sx
+    z = (li % plane) // sx
+    y = li // plane
+    denom = np.maximum(size.astype(np.float64) - 1.0, 1.0)
+    p = (np.array([x, y, z], np.float64) * (bb_max[owner] - bb_min[owner])
+         / denom + bb_min[owner])
+    best, sgn = C.DF_FAR, 1.0
+    for f in range(F):
+        if np.all(p <= bb_max[f]) and np.all(p >= bb_min[f]):
+            d, rpx = face_distance(p, f)
+            if d < best:
+                best, sgn = d, rpx
+    return np.copysign(best, sgn) if best < C.DF_FAR else C.DF_FAR
+
+
+def collide_row(p_new, v_next):
+    """f64 handle_collisions (collisionsv2.cl:249-336): last containing
+    face, clipped cell, trilinear DF, respond. Returns (pos, vel, d)."""
+    face = -1
+    for f in range(F):
+        if np.all(p_new <= bb_max[f]) and np.all(p_new >= bb_min[f]):
+            face = f
+    if face < 0:
+        return p_new, v_next, None
+    size = bb_size[face]
+    side = (bb_max[face] - bb_min[face]) / np.maximum(
+        size.astype(np.float64) - 1.0, 1.0)
+    cell = np.clip(((p_new - bb_min[face]) / side).astype(np.int64),
+                   0, size - 2)
+    sx, sz = size[0], size[2]
+    base_i = bb_offset[face] + cell[1] * sx * sz + sx * cell[2] + cell[0]
+    corner = {}
+    for a in (0, 1):
+        for b in (0, 1):
+            for c_ in (0, 1):
+                corner[(a, b, c_)] = df_at(
+                    base_i + a + sx * sz * b + sx * c_)
+    base = cell * side + bb_min[face]
+
+    def wavg(xq, x1, x2, f1, f2):
+        return ((x2 - xq) / (x2 - x1)) * f1 + ((xq - x1) / (x2 - x1)) * f2
+
+    def bil(xq, yq, x1, y1, x2, y2, f00, f01, f10, f11):
+        return wavg(yq, y1, y2, wavg(xq, x1, x2, f00, f10),
+                    wavg(xq, x1, x2, f01, f11))
+
+    px, py, pz = p_new
+    bx, by, bz = base
+    sxs, sys, szs = side
+    dn = bil(px, pz, bx, bz, bx + sxs, bz + szs,
+             corner[0, 0, 0], corner[0, 0, 1], corner[1, 0, 0],
+             corner[1, 0, 1])
+    up = bil(px, pz, bx, bz, bx + sxs, bz + szs,
+             corner[0, 1, 0], corner[0, 1, 1], corner[1, 1, 0],
+             corner[1, 1, 1])
+    d = wavg(py, by, by + sys, dn, up)
+    if d >= C.CONTACT_DISTANCE:
+        return p_new, v_next, d
+    right = bil(py, pz, by, bz, by + sys, bz + szs,
+                corner[1, 0, 0], corner[1, 0, 1], corner[1, 1, 0],
+                corner[1, 1, 1])
+    left = bil(py, pz, by, bz, by + sys, bz + szs,
+               corner[0, 0, 0], corner[0, 0, 1], corner[0, 1, 0],
+               corner[0, 1, 1])
+    back = bil(px, py, bx, by, bx + sxs, by + sys,
+               corner[0, 0, 0], corner[0, 1, 0], corner[1, 0, 0],
+               corner[1, 1, 0])
+    front = bil(px, py, bx, by, bx + sxs, by + sys,
+                corner[0, 0, 1], corner[0, 1, 1], corner[1, 0, 1],
+                corner[1, 1, 1])
+    nrm = np.array([right - left, up - dn, front - back])
+    nl = np.linalg.norm(nrm)
+    if nl > 0:
+        nrm = nrm / nl
+    absd = abs(d)
+    p_out = p_new + absd * nrm
+    speed = max(np.linalg.norm(v_next), 1e-12)
+    coef = 1.0 + params.restitution * absd / (dt_probe * speed)
+    v_out = v_next - coef * float(nrm @ v_next) * nrm
+    return p_out, v_out, d
+
+
+pos_err = np.zeros(len(rows))
+vel_err = np.zeros(len(rows))
+excl = 0
+collided = 0
+vscale = max(np.abs(vel_dev).max(), 1e-9)
+pscale = h
+for k, i in enumerate(rows):
+    v_next = iv0[i] + acc[k] * dt_probe
+    p_new = pos0[i] + v_next * dt_probe
+    p_out, v_out, d = collide_row(p_new, v_next)
+    if d is not None and abs(d - C.CONTACT_DISTANCE) < BAND:
+        excl += 1
+        pos_err[k] = vel_err[k] = np.nan
+        continue
+    if d is not None and d < C.CONTACT_DISTANCE:
+        collided += 1
+    # reconstruct the full-step velocity (advection.cl:16 + engine)
+    v_full = 0.5 * (iv0[i] + v_out)
+    pos_err[k] = np.abs(pos_dev[i] - p_out).max() / pscale
+    vel_err[k] = np.abs(vel_dev[i] - v_full).max() / vscale
+
+ok = ~np.isnan(pos_err)
+print(f"collision probe: {collided} of {ok.sum()} rows collided, "
+      f"{excl} threshold-band rows excluded")
+assert excl <= max(2, len(rows) // 50), "threshold band not rare"
+assert collided >= 5, "probe exercised too few collisions — settle longer"
+print(f"post-substep position (units of h): RMS "
+      f"{np.sqrt(np.nanmean(pos_err**2)):.3e}  max {np.nanmax(pos_err):.3e}")
+print(f"post-substep velocity (rel to max speed): RMS "
+      f"{np.sqrt(np.nanmean(vel_err**2)):.3e}  max {np.nanmax(vel_err):.3e}")

@@ -178,7 +178,7 @@ def main(argv=None) -> int:
         return -1
     if cfg.cand_interval > 1 and (
         cfg.neighbor_impl != "pallas" or cfg.pallas_variant != "nl"
-        or cfg.nl_query_rows < cfg.block_size or cfg.tier2_frac > 0
+        or cfg.nl_query_rows < cfg.block_size
     ):
         # candidate reuse is a perf feature of the production nl shape;
         # quietly rebuild every substep on other shapes

@@ -204,7 +204,9 @@ class SPHSimulation:
                 cfg.neighbor_impl == "pallas"
                 and cfg.pallas_variant == "nl"
                 and cfg.nl_query_rows >= cfg.block_size
-                and not cfg.density_sub16  # t2 force panels are 32-wide
+                # r4: tier2 composes with density_sub16 (c16_all mode
+                # — both tiers run the 16-granular kernels) and with
+                # candidate reuse (the carry is the tier-2-width table)
             )
             if flags & FLAG_CAPACITY:
                 updates["max_candidates"] = cfg.max_candidates * 2

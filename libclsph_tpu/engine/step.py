@@ -379,29 +379,29 @@ def _density_forces_pallas_nl(
     use_t2 = config.tier2_frac > 0 and not asm and q_rep == 1
     dsub16 = config.density_sub16
     if dsub16 and (
-        asm or q_rep > 1 or use_t2
+        asm or q_rep > 1
         or config.force_query_rows != 32
         or not config.force_sub16
         or not config.hit_compact
     ):
         raise ValueError(
             "density_sub16 requires the nl variant at whole-block query "
-            "rows with force_query_rows=32 + force_sub16 + hit_compact, "
-            "and no tier2 routing (tier-2 force panels are 32-wide)"
+            "rows with force_query_rows=32 + force_sub16 + hit_compact"
         )
     reuse_on = config.cand_interval > 1
-    if reuse_on and (asm or q_rep > 1 or use_t2):
+    if reuse_on and (asm or q_rep > 1):
         raise ValueError(
-            "cand_interval reuse requires the plain nl variant at "
-            "whole-block query rows without tier2 routing"
+            "cand_interval reuse requires the nl variant at "
+            "whole-block query rows"
         )
     # build-substep search/refine dilation (see StepConfig.cand_interval)
     h_search = (
         params.h * (1.0 + config.cand_slack) if reuse_on else params.h
     )
     # gated reuse density (StepConfig.density_gate): the carry grows a
-    # 4th leaf, the packed dilated tile-hit nibbles
-    gate_on = reuse_on and dsub16 and config.density_gate
+    # 4th leaf, the packed dilated tile-hit nibbles (not under tier2 —
+    # the two-tier path runs the ungated kernels)
+    gate_on = reuse_on and dsub16 and config.density_gate and not use_t2
     cand_mask = None
     sub = cfg.block_size // (nl.SUB16 if dsub16 else nl.SUB)
     cap_sub = config.max_candidates_sub * (
@@ -496,10 +496,17 @@ def _density_forces_pallas_nl(
             state.position, state.velocity, state.density, state.pressure,
             real, B, mass=mass, center=center,
         )
-        c_pos_pack, _ = nl.make_csub_packs(
-            state.position, state.velocity, state.density, state.pressure,
-            real, mass=mass, center=center,
-        )
+        if dsub16:
+            # fully 16-granular two-tier routing (the unified scale
+            # config): both tiers consume the c16 pos/force packs
+            c_pos_pack = nl.make_c16_pos_pack(
+                state.position, real, center=center
+            )
+        else:
+            c_pos_pack, _ = nl.make_csub_packs(
+                state.position, state.velocity, state.density,
+                state.pressure, real, mass=mass, center=center,
+            )
 
         def make_q_force(density, pressure):
             return nl.make_query_planes(
@@ -519,12 +526,15 @@ def _density_forces_pallas_nl(
                 real, mass=mass, center=center, with_gid=False,
             )
 
+        cand_out_t2 = (
+            (cand_sub, count_sub, pos_anchor) if reuse_on else None
+        )
         return nl_two_tier_passes(
             q_pos, c_pos_pack, make_q_force, make_c_force_pack,
             real, params, terms, config, r2_mxu,
             cand_sub, count_sub, self_lo, sub, flags,
             make_c16_pack=make_c16_pack,
-        ) + (None,)
+        ) + (cand_out_t2,)
 
     mass = params.particle_mass
     make_cpacks = nl.make_cparent_packs if asm else nl.make_csub_packs
@@ -740,6 +750,12 @@ def nl_two_tier_passes(
         config.force_query_rows == 32 and config.hit_compact and B == 128
     )
     sub16 = force_q32 and config.force_sub16 and make_c16_pack is not None
+    # FULLY 16-granular two-tier routing (the r4 unified scale config):
+    # the candidate table and pos pack are 16-granular (density_sub16),
+    # so BOTH tiers run the c16 kernels — tier-2 heavy rows keep the
+    # c16 pair-volume advantage instead of falling back to 32-wide
+    # whole-block panels. Requires sub16 (the c16 force pack).
+    c16_all = config.density_sub16 and sub16
 
     # ---- density (+ hit flags), both tiers
     if config.hit_compact:
@@ -747,20 +763,22 @@ def nl_two_tier_passes(
             q_pos, c_pos_pack, cand1, count1, params, terms, real,
             r2_mxu=r2_mxu, want_hits=True,
             hit_groups=nl.QG if force_q32 else 1,
-            hit_sub=nl.SUB16 if sub16 else nl.SUB,
+            hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=c16_all,
         )
         density2, hits2 = nl.fused_density_nl(
             q_pos2, c_pos_pack, cand2, count2, params, terms, real2,
             r2_mxu=r2_mxu, want_hits=True,
+            hit_groups=nl.QG if c16_all else 1,
+            hit_sub=nl.SUB16 if c16_all else nl.SUB, c16=c16_all,
         )
     else:
         density1 = nl.fused_density_nl(
             q_pos, c_pos_pack, cand1, count1, params, terms, real,
-            r2_mxu=r2_mxu,
+            r2_mxu=r2_mxu, c16=c16_all,
         )
         density2 = nl.fused_density_nl(
             q_pos2, c_pos_pack, cand2, count2, params, terms, real2,
-            r2_mxu=r2_mxu,
+            r2_mxu=r2_mxu, c16=c16_all,
         )
     d1b = density1.reshape(nb, B)
     d2b = density2.reshape(nb2, B)
@@ -775,13 +793,34 @@ def nl_two_tier_passes(
         density = fix_density(density)
 
     q_force = make_q_force(density, pressure)
-    c_force_pack = make_c_force_pack(density, pressure)
+    c_force_pack = (
+        None if c16_all else make_c_force_pack(density, pressure)
+    )
+    c16_pack = (
+        make_c16_pack(density, pressure) if sub16 or c16_all else None
+    )
     q_force2 = jnp.take(q_force, idx, axis=0)
     density2m = jnp.take(density.reshape(nb, B), idx, axis=0).reshape(-1)
 
     # ---- forces, tier 1
     if config.hit_compact:
-        if sub16:
+        if c16_all:
+            # ids are natively 16-granular (the refine ran at sub =
+            # B/16); flags are slot-aligned — no interleave
+            cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(cand1, nl.QG, axis=0),
+                hits1[:, : cand1.shape[1]],
+                config.max_candidates_hit16,
+                self_lo=(
+                    None if self_lo is None else jnp.repeat(self_lo, nl.QG)
+                ),
+                self_width=sub,
+            )
+            accel1 = nl.fused_forces_nl32_c16(
+                q_force, c16_pack, cand_f1, count_f1, params, terms,
+                real, density, r2_mxu=r2_mxu,
+            )
+        elif sub16:
             sent = tiles_ops.REFINE_SENTINEL
             twice = jnp.where(cand1 == sent, sent, cand1 * 2)
             ids16 = jnp.stack(
@@ -798,7 +837,7 @@ def nl_two_tier_passes(
                 self_width=2 * sub,
             )
             accel1 = nl.fused_forces_nl32_c16(
-                q_force, make_c16_pack(density, pressure), cand_f1,
+                q_force, c16_pack, cand_f1,
                 count_f1, params, terms, real, density, r2_mxu=r2_mxu,
             )
         elif force_q32:
@@ -826,11 +865,27 @@ def nl_two_tier_passes(
                 q_force, c_force_pack, cand_f1, count_f1, params, terms,
                 real, density, r2_mxu=r2_mxu,
             )
-        hit2cap = config.max_candidates_hit * config.tier2_mult
-        cand_f2, count_f2, ovf4 = tiles_ops.compact_hits(
-            cand2, hits2[:, : cand2.shape[1]], hit2cap,
-            self_lo=self_lo2, self_width=sub,
-        )
+        if c16_all:
+            # tier-2 keeps the 16-granular q32 force pass (the unified
+            # c16 scale config): per-subgroup hit lists at tier2_mult x
+            # the base 16-wide capacity
+            hit16cap2 = config.max_candidates_hit16 * config.tier2_mult
+            cand_f2, count_f2, ovf4 = tiles_ops.compact_hits(
+                jnp.repeat(cand2, nl.QG, axis=0),
+                hits2[:, : cand2.shape[1]],
+                hit16cap2,
+                self_lo=(
+                    None if self_lo2 is None
+                    else jnp.repeat(self_lo2, nl.QG)
+                ),
+                self_width=sub,
+            )
+        else:
+            hit2cap = config.max_candidates_hit * config.tier2_mult
+            cand_f2, count_f2, ovf4 = tiles_ops.compact_hits(
+                cand2, hits2[:, : cand2.shape[1]], hit2cap,
+                self_lo=self_lo2, self_width=sub,
+            )
         flags = flags + (ovf3 | ovf4).astype(jnp.int32) * FLAG_CAPACITY_HIT
     else:
         cand_f2, count_f2 = cand2, count2
@@ -839,11 +894,17 @@ def nl_two_tier_passes(
             real, density, r2_mxu=r2_mxu,
         )
 
-    # ---- forces, tier 2 (whole-block panels), then merge
-    accel2 = nl.fused_forces_nl(
-        q_force2, c_force_pack, cand_f2, count_f2, params, terms, real2,
-        density2m, r2_mxu=r2_mxu,
-    )
+    # ---- forces, tier 2, then merge
+    if c16_all:
+        accel2 = nl.fused_forces_nl32_c16(
+            q_force2, c16_pack, cand_f2, count_f2, params, terms, real2,
+            density2m, r2_mxu=r2_mxu,
+        )
+    else:
+        accel2 = nl.fused_forces_nl(
+            q_force2, c_force_pack, cand_f2, count_f2, params, terms, real2,
+            density2m, r2_mxu=r2_mxu,
+        )
     a1b = accel1.reshape(nb, B, 3)
     a2b = accel2.reshape(nb2, B, 3)
     a2b = jnp.where(used[:, None, None], a2b, jnp.take(a1b, idx, axis=0))
@@ -1112,7 +1173,16 @@ def frame_jit(state, dt, timeleft, params, scene, config):
             jnp.zeros((np_ // config.block_size,), jnp.int32),
             jnp.zeros((np_, 3), jnp.float32),
         )
-        if sub16 and config.density_gate:
+        if config.tier2_frac > 0:
+            # two-tier reuse: the carried table is at the TIER-2 width
+            width = min(
+                config.max_candidates_sub * config.tier2_mult,
+                subw * config.max_candidates,
+            )
+            tables0 = (
+                jnp.zeros((np_ // config.block_size, width), jnp.int32),
+            ) + tables0[1:]
+        if sub16 and config.density_gate and config.tier2_frac == 0:
             # gated reuse density: + the packed dilated tile-hit
             # nibbles (one int32 word per 8-tile grid step)
             step16 = 8 * 8  # GROUP16 * TPS subblock slots per grid step

@@ -127,15 +127,16 @@ def _nl_passes(
     use_t2 = config.tier2_frac > 0 and q_rep == 1
     dsub16 = config.density_sub16
     if dsub16 and (
-        q_rep > 1 or use_t2
+        q_rep > 1
         or config.force_query_rows != 32
         or not config.force_sub16
         or not config.hit_compact
     ):
         raise ValueError(
             "density_sub16 requires whole-block query rows with "
-            "force_query_rows=32 + force_sub16 + hit_compact and no "
-            "tier2 routing (engine/step.py rationale)"
+            "force_query_rows=32 + force_sub16 + hit_compact "
+            "(engine/step.py rationale; tier2 composes since r4 — "
+            "both tiers run the 16-granular kernels)"
         )
     sub = cfg.block_size // (nl.SUB16 if dsub16 else nl.SUB)
     cap_sub = config.max_candidates_sub * (

@@ -59,6 +59,16 @@ CONFIGS = {
         force_query_rows=32, force_sub16=True, density_sub16=True,
         max_candidates_sub=96,
     ),
+    # r4: candidate reuse composes with two-tier routing (the carry is
+    # the tier-2-width table; routing re-derives per substep from the
+    # carried counts)
+    "t2": dict(max_candidates_sub=56, tier2_frac=2, tier2_mult=2),
+    # (the settled lattice has near-uniform counts, so the base cap
+    # must sit above the bulk — only a tail may route to the pool)
+    "c16-t2": dict(
+        force_query_rows=32, force_sub16=True, density_sub16=True,
+        max_candidates_sub=88, tier2_frac=2, tier2_mult=2,
+    ),
 }
 
 
@@ -115,8 +125,8 @@ def test_density_gate_matches_ungated(params):
         max_candidates=64, max_candidates_hit=64,
         force_query_rows=32, force_sub16=True, density_sub16=True,
         max_candidates_sub=96, cand_interval=2, cand_slack=0.3,
+        density_gate=True,  # opt-in since the r4 measurement (a loser)
     )
-    assert base.density_gate  # the production default
     ungated = dataclasses.replace(base, density_gate=False)
     state = _settled(params, dataclasses.replace(base, cand_interval=1))
     dt = jnp.float32(params.max_dt)

@@ -184,9 +184,13 @@ class TestShardedStep:
         np.testing.assert_allclose(a1, a8, atol=5e-4 * np.abs(a1).max())
         assert float(dt1) == pytest.approx(float(dt8), rel=1e-5)
 
-    @pytest.mark.parametrize("force_query_rows", [128, 32])
+    @pytest.mark.parametrize(
+        "force_query_rows,c16_all",
+        [(128, False), (32, False), (32, True)],
+        ids=["q128", "q32", "c16-all"],
+    )
     def test_pallas_nl_tier2_matches_sharded_single_tier(
-        self, rng, force_query_rows
+        self, rng, force_query_rows, c16_all
     ):
         """Two-tier capacity routing under a mesh (engine/step.py
         nl_two_tier_passes via the sharded caller) reproduces the
@@ -205,6 +209,8 @@ class TestShardedStep:
         # heavy-row bar from the single-chip refined counts (proxy: the
         # ball cluster makes its blocks heavy in any decomposition)
         counts = refined_counts(make_state(pos, vel), params)
+        if c16_all:
+            counts = counts * 2  # 16-wide subblock counts are ~2x
         c1 = max(32, int(np.median(counts)) + 8)
         assert (counts > c1).any(), "test cloud produced no heavy blocks"
         mult = 2
@@ -215,6 +221,8 @@ class TestShardedStep:
             neighbor_impl="pallas", pallas_variant="nl", block_size=128,
             max_candidates=64, max_candidates_hit=2 * c1,
             force_query_rows=force_query_rows, adaptive_dt=False,
+            force_sub16=c16_all, density_sub16=c16_all,
+            max_candidates_hit16=4 * c1,
         )
         mesh = make_mesh(jax.devices()[:8])
         dt = jnp.float32(params.max_dt)

@@ -83,23 +83,32 @@ def test_route_overflow_unit():
 
 
 @pytest.mark.parametrize(
-    "force_query_rows,force_sub16",
-    [(128, False), (32, False), (32, True)],
-    ids=["q128", "q32", "q32-c16"],
+    "force_query_rows,force_sub16,density_sub16",
+    [(128, False, False), (32, False, False), (32, True, False),
+     (32, True, True)],
+    ids=["q128", "q32", "q32-c16", "c16-all"],
 )
-def test_tier2_matches_single_tier(rng, force_query_rows, force_sub16):
+def test_tier2_matches_single_tier(
+    rng, force_query_rows, force_sub16, density_sub16
+):
     """A two-tier run (small base cap + routed heavy tail) reproduces
     the single-tier run at the full capacity bit-for-bit: both tiers
     execute the identical kernels over identical sorted candidate
     lists — the routing only changes WHICH dispatch a block's
     accumulation happens in. The q32-c16 case additionally covers the
-    16-wide tier-1 force path (hit_sub=16 flags + make_c16_pack)."""
+    16-wide tier-1 force path (hit_sub=16 flags + make_c16_pack); the
+    c16-all case is the r4 unified scale config where BOTH tiers run
+    the fully 16-granular kernels (density_sub16 + tier2)."""
     n = 4096
     params = make_params(WATER, n=n)
     pos, vel = clustered_cloud(rng, params, n)
     state = make_state(pos, vel)
 
     counts = refined_counts(make_state(pos, vel), params)
+    if density_sub16:
+        # the c16 refine runs at sub=8 per block: 16-wide subblock
+        # counts are ~2x the 32-wide ones
+        counts = counts * 2
     c_max = int(counts.max())
     # base cap below the heavy rows but above the light median
     c1 = max(32, int(np.median(counts)) + 8)
@@ -112,7 +121,8 @@ def test_tier2_matches_single_tier(rng, force_query_rows, force_sub16):
     base = dict(
         neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
         max_candidates_hit=2 * c1, force_query_rows=force_query_rows,
-        force_sub16=force_sub16, max_candidates_hit16=4 * c1,
+        force_sub16=force_sub16, density_sub16=density_sub16,
+        max_candidates_hit16=4 * c1,
     )
     s1, _, f1 = substep_jit(
         state, jnp.float32(1e-9), params, None,
