@@ -42,6 +42,134 @@ def build_params(n: int, fluid_name: str = "water"):
     return derive_parameters(dict(FLUIDS[fluid_name]), sim)
 
 
+def bench_mesh(args, params, cfg, scene_dev, state, dt, n, platform, log):
+    """--mesh N: the multi-chip scaling harness (VERDICT r3 item #6).
+
+    Runs the SHARDED device-side frame loop (make_sharded_frame — the
+    same program the engine dispatches on a v5e-8) for --steps-worth of
+    substeps over the first N devices and reports particle-steps/s plus
+    the per-substep COLLECTIVE counts extracted from the jaxpr, so
+    exchange-traffic regressions are visible without multi-chip
+    hardware. On this single-chip image run it on the virtual CPU mesh
+    (XLA_FLAGS=--xla_force_host_platform_device_count=8
+    JAX_PLATFORMS=cpu, set before process start) for shape/correctness;
+    the SAME command on a real v5e-8 produces the scaling number.
+    """
+    import time as _t
+
+    from libclsph_tpu.parallel.mesh import make_mesh, particle_sharding
+    from libclsph_tpu.parallel.sharded_step import (
+        make_sharded_frame, pad_for_mesh,
+    )
+
+    devices = jax.devices()[: args.mesh]
+    if len(devices) < args.mesh:
+        sys.exit(f"only {len(devices)} device(s); requested {args.mesh}")
+    mesh = make_mesh(devices)
+    state = pad_for_mesh(state, params, mesh, cfg)
+    sharding = particle_sharding(mesh)
+    state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+    frame = make_sharded_frame(
+        mesh, params, scene_dev, cfg, exchange=args.exchange,
+        halo_max=args.halo_max or state.position.shape[0]
+        // args.mesh // cfg.block_size,
+        halo_hops=args.halo_hops or (args.mesh + 1) // 2,
+    )
+
+    # per-substep collective counts from the jaxpr (ICI-traffic audit)
+    jaxpr = jax.make_jaxpr(
+        lambda s, d, tl: frame(s, d, tl)
+    )(state, dt, jnp.float32(params.frame_time))
+    colls = {}
+
+    def walk(jx):
+        if hasattr(jx, "jaxpr"):  # ClosedJaxpr
+            jx = jx.jaxpr
+        for eqn in jx.eqns:
+            prim = eqn.primitive.name
+            if prim in ("ppermute", "all_gather", "psum", "pmin", "pmax",
+                        "reduce_scatter", "all_to_all", "psum2",
+                        "psum_invariant"):
+                colls[prim] = colls.get(prim, 0) + 1
+            for sub in eqn.params.values():
+                if hasattr(sub, "eqns") or hasattr(sub, "jaxpr"):
+                    walk(sub)
+                elif isinstance(sub, (list, tuple)):
+                    for s2 in sub:
+                        if hasattr(s2, "eqns") or hasattr(s2, "jaxpr"):
+                            walk(s2)
+
+    walk(jaxpr.jaxpr)
+
+    # warmup (one whole frame's budget) + the engine-style capacity
+    # autotune so the timed run certifies timed_flags == 0
+    import dataclasses as _dc
+
+    from libclsph_tpu.engine.step import (
+        FLAG_CAND_STALE, FLAG_CAPACITY, FLAG_CAPACITY_HIT,
+        FLAG_CAPACITY_SUB,
+    )
+
+    t0 = _t.perf_counter()
+    for _ in range(5):
+        st, d, tl, flags = frame(state, dt, jnp.float32(params.frame_time))
+        jax.block_until_ready(st.position)
+        f = int(flags)
+        if not f:
+            break
+        updates = {}
+        if f & FLAG_CAPACITY:
+            updates["max_candidates"] = cfg.max_candidates * 2
+        if f & FLAG_CAPACITY_SUB:
+            updates["max_candidates_sub"] = cfg.max_candidates_sub * 2
+        if f & FLAG_CAPACITY_HIT:
+            updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
+            updates["max_candidates_hit16"] = cfg.max_candidates_hit16 * 2
+        if f & FLAG_CAND_STALE:
+            updates["cand_slack"] = cfg.cand_slack * 2
+        if not updates:
+            break
+        log(f"mesh warmup flags {f} -> {updates}")
+        cfg = _dc.replace(cfg, **updates)
+        frame = make_sharded_frame(
+            mesh, params, scene_dev, cfg, exchange=args.exchange,
+            halo_max=args.halo_max or state.position.shape[0]
+            // args.mesh // cfg.block_size,
+            halo_hops=args.halo_hops or (args.mesh + 1) // 2,
+        )
+    log(f"compile+warmup: {_t.perf_counter() - t0:.1f}s flags={int(flags)}")
+
+    # timed: --steps substeps' worth of frame budget
+    budget = float(params.max_dt) * args.steps
+    t0 = _t.perf_counter()
+    st, d, tl, flags = frame(state, dt, jnp.float32(budget))
+    jax.block_until_ready(st.position)
+    elapsed = _t.perf_counter() - t0
+    # substeps actually run: budget consumed at the adaptive dt
+    steps_est = args.steps  # dt starts at max_dt and only shrinks
+    psteps = n * steps_est / elapsed
+    result = {
+        "metric": (
+            f"sharded particle-steps/sec @ {n} x {args.mesh} devices "
+            f"({platform}, exchange={args.exchange})"
+        ),
+        "value": round(psteps, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(psteps / (NORTH_STAR_PER_CHIP * args.mesh), 4),
+        "detail": {
+            "n": n, "mesh": args.mesh, "exchange": args.exchange,
+            "elapsed_s": round(elapsed, 4),
+            "ms_per_step": round(1000 * elapsed / steps_est, 3),
+            "platform": platform,
+            "timed_flags": int(flags),
+            "collectives_per_frame_dispatch": colls,
+            "timing_valid": platform == "tpu",
+        },
+    }
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=None, help="particle count")
@@ -93,6 +221,17 @@ def main():
                     "substep's dilated tile-hit flags (r4; measured a "
                     "LOSER on v5e: 264 vs 188 ms at 1M)")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="run the SHARDED frame loop over the first N "
+                    "devices (the v5e-8 scaling harness; on this image "
+                    "run with XLA_FLAGS=--xla_force_host_platform_"
+                    "device_count=8 JAX_PLATFORMS=cpu for the virtual "
+                    "mesh — shape/correctness + collective counts, not "
+                    "timing)")
+    ap.add_argument("--exchange", default="all_gather",
+                    choices=["all_gather", "halo", "ring"])
+    ap.add_argument("--halo-max", type=int, default=0)
+    ap.add_argument("--halo-hops", type=int, default=1)
     args = ap.parse_args()
 
     platform = jax.devices()[0].platform
@@ -130,15 +269,20 @@ def main():
         # reuse substeps must not re-sort (ids index the sorted order);
         # aligning the intervals keeps the schedule simple
         sys.exit("--cand-interval must divide --sort-interval")
+    import dataclasses as _dc
+
     if cfg.cand_interval > 1 and (
         cfg.neighbor_impl != "pallas" or cfg.pallas_variant != "nl"
         or cfg.nl_query_rows < cfg.block_size
     ):
-        import dataclasses as _dc
-
         # candidate reuse is a perf feature of the production nl shape;
         # quietly rebuild every substep on other shapes
         cfg = _dc.replace(cfg, cand_interval=1)
+    if cfg.density_sub16 and min(cfg.block_size, cfg.nl_query_rows) < 128:
+        # the 16-granular density path needs whole-128 query rows;
+        # quietly fall back at smaller blocks (the defaults are sized
+        # for the production 128 shape)
+        cfg = _dc.replace(cfg, density_sub16=False)
 
     scene_dev = None
     if args.scene != "none":
@@ -153,6 +297,10 @@ def main():
             print(msg, file=sys.stderr)
 
     log(f"platform={platform} n={n} impl={args.impl} scene={args.scene}")
+
+    if args.mesh:
+        return bench_mesh(args, params, cfg, scene_dev, state, dt, n,
+                          platform, log)
 
     # warmup + compile; grow the candidate capacity until no overflow
     # (mirrors the engine's autotune) so the timed physics is exact

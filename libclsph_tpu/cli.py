@@ -183,6 +183,13 @@ def main(argv=None) -> int:
         # candidate reuse is a perf feature of the production nl shape;
         # quietly rebuild every substep on other shapes
         cfg = dataclasses.replace(cfg, cand_interval=1)
+    if cfg.density_sub16 and (
+        cfg.neighbor_impl != "pallas"
+        or min(cfg.block_size, cfg.nl_query_rows) < 128
+    ):
+        # the 16-granular density path needs the pallas nl shape at
+        # whole-128 query rows; quietly fall back elsewhere
+        cfg = dataclasses.replace(cfg, density_sub16=False)
     mesh = None
     if args.mesh:
         import jax

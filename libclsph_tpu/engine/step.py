@@ -380,13 +380,15 @@ def _density_forces_pallas_nl(
     dsub16 = config.density_sub16
     if dsub16 and (
         asm or q_rep > 1
+        or q_rows != 128  # the q32 force pass engages only at 128 rows
         or config.force_query_rows != 32
         or not config.force_sub16
         or not config.hit_compact
     ):
         raise ValueError(
-            "density_sub16 requires the nl variant at whole-block query "
-            "rows with force_query_rows=32 + force_sub16 + hit_compact"
+            "density_sub16 requires the nl variant at whole-128 query "
+            "rows (block_size >= 128) with force_query_rows=32 + "
+            "force_sub16 + hit_compact"
         )
     reuse_on = config.cand_interval > 1
     if reuse_on and (asm or q_rep > 1):

@@ -79,6 +79,9 @@ GATHER_CHUNK_BYTES = 256 << 20
 # is set above the headline workload's stream (single chunk at 1M
 # q128) and chunking only engages where the alternative is an OOM.
 NL_CHUNK_BYTES = int(os.environ.get("LIBCLSPH_TPU_NL_CHUNK_MB", "3072")) << 20
+# fold the density pass's candidate table into one grid step per query
+# block (see fused_density_nl); "0" restores the r3 8-tile steps
+_DENSITY_FOLD = os.environ.get("LIBCLSPH_TPU_DENSITY_FOLD", "1") != "0"
 
 
 def make_query_planes(position, velocity, density, pressure, real, block_size,
@@ -272,18 +275,21 @@ def _pad_groups(cand_sub, count, group=GROUP):
 
 
 def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
-             with_qrow=False, group=GROUP):
+             with_qrow=False, group=GROUP, tps=TPS):
     """Shared driver for the nl kernels: lax.map over query-block
     chunks, each chunk = row gather (gather_raw) + one pallas_call over
     (chunk, mg) grid steps. Chunking bounds the raw-stream transient to
     NL_CHUNK_BYTES; XLA frees each chunk's stream before the next.
     ``group``: candidate subblocks per 128-lane tile (GROUP at 32-wide,
-    GROUP16 at 16-wide)."""
+    GROUP16 at 16-wide). ``tps``: candidate tiles per grid step — the
+    caller may fold the whole padded table into ONE step per query
+    block (measured r4: per-grid-step pipeline bookkeeping costs more
+    than the bigger VMEM window; see _forces_kernel_q32x4_c16)."""
     nb = q.shape[0]
     f_q, b = q.shape[1], q.shape[2]
     fs = cpack.shape[1]
     mp = cand_sub.shape[1]
-    mg = mp // (TPS * group)
+    mg = mp // (tps * group)
     dead = cpack.shape[0] - 1
     chunk = max(1, min(nb, NL_CHUNK_BYTES // (mp * fs * 4)))
     q_row = q[..., 0] if with_qrow else None
@@ -305,7 +311,7 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
             )
             extra = (qrow_c,)
         in_specs.append(
-            pl.BlockSpec((TPS * group, fs), lambda i, m, n_: (i * mg + m, 0))
+            pl.BlockSpec((tps * group, fs), lambda i, m, n_: (i * mg + m, 0))
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -345,7 +351,7 @@ def _nl_call(kernel, q, cpack, cand_sub, count_tiles, out_rows, interpret,
 
 def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
                     hit_groups=1, hit_sub=SUB, c16=False, hit2_h=None,
-                    hit2_rows=0, hit2_row0=0):
+                    hit2_rows=0, hit2_row0=0, tps=TPS):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -353,9 +359,9 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
     def _():
         out[...] = jnp.zeros_like(out)
 
-    for s in range(TPS):
+    for s in range(tps):
 
-        @pl.when(m * TPS + s < count_ref[i])
+        @pl.when(m * tps + s < count_ref[i])
         def _(s=s):
             if c16:
                 # (nc16-granular pos pack: 8 fields x 16 lanes, one
@@ -368,7 +374,7 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
             # flag slots per tile = 128 lanes / hit_sub (4 at 32-wide,
             # 8 at 16-wide flags for the force_sub16 path)
             hit_slot = (
-                (m * TPS + s) * (LANES // hit_sub) if hit_rows else None
+                (m * tps + s) * (LANES // hit_sub) if hit_rows else None
             )
             _density_core_rowout(
                 lambda k: q[0, k],
@@ -377,7 +383,7 @@ def _density_kernel(count_ref, q, c, out, *, h, poly6, r2_mxu, hit_rows=0,
                 h=h, poly6=poly6, r2_mxu=r2_mxu,
                 hit_slot=hit_slot, hit_rows=hit_rows, sub=hit_sub,
                 hit_groups=hit_groups,
-                hit2_h=hit2_h, hit2_slot=m * TPS + s,
+                hit2_h=hit2_h, hit2_slot=m * tps + s,
                 hit2_rows=hit2_rows, hit2_row0=hit2_row0,
             )
 
@@ -455,16 +461,23 @@ def fused_density_nl(
             flag_rows += hit_groups * hit2_rows
         # density row 0 + flag rows, rounded to whole (8, 128) tiles
         out_rows = max(8, -(-(1 + flag_rows) // 8) * 8)
+    # fold the whole padded table into ONE grid step per query block
+    # when the candidate window fits VMEM comfortably: per-grid-step
+    # pipeline bookkeeping is the measured cost (r4 hit16cap probe),
+    # not window size. 1024 rows = a 512 KB double-buffered window.
+    tps = TPS
+    if _DENSITY_FOLD and ntiles * group <= 1024:
+        tps = ntiles
     kernel = functools.partial(
         _density_kernel, h=float(params.h), poly6=float(terms.poly_6),
         r2_mxu=r2_mxu, hit_rows=hit_rows, hit_groups=hit_groups,
         hit_sub=hit_sub, c16=c16,
         hit2_h=None if hit2_h is None else float(hit2_h),
-        hit2_rows=hit2_rows, hit2_row0=hit2_row0,
+        hit2_rows=hit2_rows, hit2_row0=hit2_row0, tps=tps,
     )
     wsum = _nl_call(
         kernel, q_pos, c_pos_pack, cand_sub, count_tiles, out_rows,
-        interpret, group=group,
+        interpret, group=group, tps=tps,
     )
     density = params.particle_mass * wsum[:, 0, :].reshape(-1)
     density = jnp.where(real_flat, density, params.fluid_density)
@@ -1232,6 +1245,65 @@ def make_gid_planes(cand_padded, mg):
     return lanes.reshape(nb4, mg * TPS, LANES)
 
 
+def _forces_kernel_q32x4_c16(count_ref, q, qrow, *rest, h, spiky, visc,
+                             poly6_grad, poly6_lap, eps, r2_mxu,
+                             self_from_ids=False):
+    """All-4-subgroup variant of :func:`_forces_kernel_q32_c16`: grid
+    (nb, mg) instead of (nb*QG, mg) — one step streams the QG candidate
+    blocks (4 input specs) and accumulates into a per-subgroup scratch
+    quadrant, quartering the grid-step count. Measured rationale: +1
+    grid step per subgroup row cost ~22 ms/substep at 1M
+    (r4_results.jsonl hit16cap128 probe) — per-step pipeline
+    bookkeeping dominates the small steps."""
+    if self_from_ids:
+        cs = rest[:QG]
+        gids = rest[QG : 2 * QG]
+        out, acc = rest[2 * QG :]
+    else:
+        cs = rest[:QG]
+        gids = (None,) * QG
+        out, acc = rest[QG:]
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+        acc[...] = jnp.zeros_like(acc)
+
+    for g in range(QG):
+        acc_g = acc.at[g * 8 : (g + 1) * 8, :]
+        for s in range(TPS):
+
+            @pl.when(m * TPS + s < count_ref[i * QG + g])
+            def _(g=g, s=s, acc_g=acc_g):
+                if self_from_ids:
+                    tile = _transpose16_half(
+                        cs[g][s * GROUP16 : (s + 1) * GROUP16, :]
+                    )
+                    gid_row = gids[g][0, s : s + 1, :]
+                    row = lambda k: (
+                        gid_row if k == 8 else tile[k : k + 1, :]
+                    )
+                else:
+                    tile = _tile_from_raw16(cs[g], s)
+                    row = lambda k: tile[k : k + 1, :]
+                _forces_pair_q32(
+                    lambda k: q[0, k, g * Q32 : (g + 1) * Q32],
+                    row, qrow, acc_g,
+                    h=h, spiky=spiky, visc=visc,
+                    poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+                    r2_mxu=r2_mxu,
+                )
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _():
+        for g in range(QG):
+            _forces_finalize_q32(
+                acc.at[g * 8 : (g + 1) * 8, :], qrow, out, g
+            )
+
+
 def _forces_kernel_q32_c16(count_ref, q, qrow, c, *rest, h, spiky, visc,
                            poly6_grad, poly6_lap, eps, r2_mxu,
                            self_from_ids=False):
@@ -1282,6 +1354,98 @@ def _forces_kernel_q32_c16(count_ref, q, qrow, c, *rest, h, spiky, visc,
         _forces_finalize_q32(acc, qrow, out, g)
 
 
+def _nl32x4_call(kernel, q, cpack, cand_sub, count_tiles, out_rows,
+                 interpret, group=GROUP16, with_gid_planes=False):
+    """Driver for the all-4-subgroup q32 force kernel: grid (nb, mg)
+    with QG candidate-stream input specs per step (see
+    _forces_kernel_q32x4_c16). Chunked like _nl32_call."""
+    nb4 = cand_sub.shape[0]
+    nb = q.shape[0]
+    if nb4 != nb * QG:
+        raise ValueError("cand rows must be nb*QG (per-subgroup lists)")
+    f_q, b = q.shape[1], q.shape[2]
+    fs = cpack.shape[1]
+    mp = cand_sub.shape[1]
+    mg = mp // (TPS * group)
+    dead = cpack.shape[0] - 1
+    q_row = q[..., 0]
+    chunk4 = max(1, min(nb4, NL_CHUNK_BYTES // (mp * fs * 4)))
+    chunk = max(1, chunk4 // QG)
+
+    def run_chunk(args):
+        cand_c, count_c, qc, qrow_c = args
+        nbc = qc.shape[0]
+        in_specs = [
+            pl.BlockSpec((1, f_q, b, 1), lambda i, m, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, f_q, b), lambda i, m, *_: (i, 0, 0)),
+        ]
+        for g in range(QG):
+            in_specs.append(
+                pl.BlockSpec(
+                    (TPS * group, fs),
+                    lambda i, m, *_, g=g: ((i * QG + g) * mg + m, 0),
+                )
+            )
+        extra = ()
+        if with_gid_planes:
+            for g in range(QG):
+                in_specs.append(
+                    pl.BlockSpec(
+                        (1, TPS, LANES),
+                        lambda i, m, *_, g=g: (i * QG + g, m, 0),
+                    )
+                )
+            gid_planes = make_gid_planes(cand_c, mg)
+            extra = (gid_planes,) * QG
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbc, mg),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, out_rows, b), lambda i, m, *_: (i, 0, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((8 * QG, LANES), jnp.float32)],
+        )
+        raw = gather_raw(cpack, cand_c)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (nbc, out_rows, b), jnp.float32
+            ),
+            interpret=interpret,
+        )(count_c, qc, qrow_c, *((raw,) * QG), *extra)
+
+    if chunk >= nb:
+        return run_chunk((cand_sub, count_tiles, q, q_row))
+    nch = -(-nb // chunk)
+    padq = nch * chunk - nb
+    pad4 = padq * QG
+
+    def cc(a, fill, pad):
+        if pad:
+            tail = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            a = jnp.concatenate([a, tail], axis=0)
+        return a.reshape((nch, -1) + a.shape[1:])
+
+    out = jax.lax.map(
+        run_chunk,
+        (
+            cc(cand_sub, dead, pad4),
+            cc(count_tiles, 0, pad4),
+            cc(q, 0, padq),
+            cc(q_row, 0, padq),
+        ),
+    )
+    return out.reshape((-1,) + out.shape[2:])[:nb]
+
+
+# grid-step layout for the q32/c16 force pass: 'x4' (default — one
+# step per query block, QG candidate streams; 4x fewer grid steps) |
+# 'q32' (the r3 per-subgroup-row grid, kept for A/B)
+_FORCE_GRID = os.environ.get("LIBCLSPH_TPU_FORCE_GRID", "x4")
+
+
 def fused_forces_nl32_c16(
     q_force: jnp.ndarray,
     c16_force_pack: jnp.ndarray,
@@ -1311,8 +1475,7 @@ def fused_forces_nl32_c16(
     cand_hit16, count_tiles = _pad_groups(
         cand_hit16, count_hit16, group=GROUP16
     )
-    kernel = functools.partial(
-        _forces_kernel_q32_c16,
+    kw = dict(
         h=float(params.h),
         spiky=float(terms.spiky),
         visc=float(terms.viscosity),
@@ -1322,10 +1485,18 @@ def fused_forces_nl32_c16(
         r2_mxu=r2_mxu,
         self_from_ids=self_from_ids,
     )
-    sums = _nl32_call(
-        kernel, q_force, c16_force_pack, cand_hit16, count_tiles, 10,
-        interpret, group=GROUP16, with_gid_planes=self_from_ids,
-    )
+    if _FORCE_GRID == "x4":
+        sums = _nl32x4_call(
+            functools.partial(_forces_kernel_q32x4_c16, **kw),
+            q_force, c16_force_pack, cand_hit16, count_tiles, 10,
+            interpret, group=GROUP16, with_gid_planes=self_from_ids,
+        )
+    else:
+        sums = _nl32_call(
+            functools.partial(_forces_kernel_q32_c16, **kw),
+            q_force, c16_force_pack, cand_hit16, count_tiles, 10,
+            interpret, group=GROUP16, with_gid_planes=self_from_ids,
+        )
     return _combine_forces(sums, params, real_flat, density)
 #
 # The XLA pre-gather above costs ~125 ms/substep at 1M (jnp.take runs

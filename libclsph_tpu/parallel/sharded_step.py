@@ -128,6 +128,7 @@ def _nl_passes(
     dsub16 = config.density_sub16
     if dsub16 and (
         q_rep > 1
+        or q_rows != 128
         or config.force_query_rows != 32
         or not config.force_sub16
         or not config.hit_compact

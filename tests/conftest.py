@@ -74,3 +74,22 @@ def mucus_params():
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# ---- slow markers (README "quick set"): the heavy equivalence /
+# engine / mesh suites are marked slow so `-m "not slow"` gives an
+# iteration loop that fits this box's single core; the full suite
+# stays the merge gate.
+_SLOW_MODULES = {
+    "test_cand_reuse", "test_tier2", "test_golden", "test_engine",
+    "test_parallel", "test_render",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        if mod in _SLOW_MODULES or (
+            mod == "test_physics" and item.cls is None
+        ):
+            item.add_marker(pytest.mark.slow)

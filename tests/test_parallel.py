@@ -729,3 +729,31 @@ class TestShardedRadixSort:
             np.asarray(s_xla.density), np.asarray(s_rx.density)
         )
         assert float(dt_xla) == float(dt_rx)
+
+
+def test_bench_mesh_smoke(monkeypatch, capsys):
+    """bench.py --mesh N (the v5e-8 scaling harness, VERDICT r3 #6) on
+    the virtual CPU mesh: the sharded frame loop runs flag-clean and
+    the jaxpr collective audit sees the exchange traffic — one command
+    that produces the multi-chip number the day hardware exists."""
+    import json
+    import os
+    import runpy
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    monkeypatch.chdir(root)
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--n", "4096", "--steps", "3", "--mesh", "8",
+        "--block-size", "64", "--max-candidates", "64",
+        "--max-candidates-sub", "96", "--json-only",
+        "--cand-interval", "2", "--sort-interval", "2",
+    ])
+    runpy.run_path(os.path.join(root, "bench.py"), run_name="__main__")
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(out)
+    assert rec["detail"]["timed_flags"] == 0
+    colls = rec["detail"]["collectives_per_frame_dispatch"]
+    assert colls.get("all_gather", 0) > 0  # the exchange
+    assert colls.get("pmax", 0) > 0  # dt/bounds agreement
+    assert rec["value"] > 0
