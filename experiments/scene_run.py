@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--impl", default=None)
     ap.add_argument("--max-candidates", type=int, default=96)
     ap.add_argument("--max-candidates-sub", type=int, default=192)
+    ap.add_argument("--legacy-config", action="store_true",
+                    help="the r2-proven q128+autotune scene config "
+                    "(A/B control for the r4 unified c16 defaults)")
     args = ap.parse_args()
 
     import jax
@@ -125,21 +128,35 @@ def main():
     import jax.numpy as jnp
 
     impl = args.impl or ("pallas" if jax.default_backend() == "tpu" else "tiles")
-    # The r2-proven scene config: q128 + hit compaction, engine
-    # autotune grows capacities as the water column deepens. Measured
-    # r3 (native .geo writer built, uncontended host): river 8.22
-    # s/frame at 1M. The 1M cube-bench c16 defaults are unproven for
-    # deep/uneven columns (a 45.6 s/frame c16 row was confounded by
-    # the NumPy-serializer fallback — build native/ first).
-    cfg = StepConfig(
-        neighbor_impl=impl,
-        max_candidates=args.max_candidates,
-        max_candidates_sub=args.max_candidates_sub,
-        sort_interval=4,
-        cand_interval=4,  # Verlet reuse (predictive in-loop staleness:
-        # frame_jit rebuilds when displacement-since-anchor exceeds the
-        # slack budget; fast flows degrade to rebuild-every-substep)
-    )
+    if args.legacy_config:
+        # The r2-proven scene config: q128 + hit compaction, engine
+        # autotune grows capacities as the water column deepens.
+        # Measured r3 (native .geo writer built, uncontended host):
+        # river 8.22 s/frame at 1M -> 5.80 with cand_interval 4.
+        cfg = StepConfig(
+            neighbor_impl=impl,
+            max_candidates=args.max_candidates,
+            max_candidates_sub=args.max_candidates_sub,
+            sort_interval=4,
+            cand_interval=4,
+        )
+    else:
+        # r4 UNIFIED defaults — identical to the CLI/bench: the c16
+        # kernels + cadence; deep-column overflows escalate to the
+        # 16-granular tier-2 pool (c16_all) via the engine autotune
+        # instead of a global capacity doubling.
+        cfg = StepConfig(
+            neighbor_impl=impl,
+            max_candidates=args.max_candidates,
+            max_candidates_sub=args.max_candidates_sub,
+            max_candidates_hit=128,
+            force_query_rows=32, force_sub16=True, density_sub16=True,
+            max_candidates_hit16=64,
+            sort_interval=4,
+            cand_interval=4,  # Verlet reuse (predictive in-loop
+            # staleness: frame_jit rebuilds when displacement-since-
+            # anchor exceeds the slack budget)
+        )
     sim = SPHSimulation(step_config=cfg)
     placement = PLACEMENTS.get(args.scene)
     mass = (placement or {}).get("mass", 0.05)
