@@ -224,9 +224,20 @@ class SPHSimulation:
                 updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
             if flags & FLAG_CAPACITY_HIT:
                 if cfg.force_sub16 and cfg.force_query_rows == 32:
-                    updates["max_candidates_hit16"] = (
-                        cfg.max_candidates_hit16 * 2
-                    )
+                    # Deep-column signature: the 16-granular hit tables
+                    # overflowing their cap marks the regime where the
+                    # c16 kernels were MEASURED to lose to the
+                    # q-granular scale config — river at 1M ran 25.5
+                    # s/frame after a global hit16 doubling vs 5.80 on
+                    # the q128 path (r4_deliver.log), and the doubling
+                    # itself costs +22 ms/substep of dead-capacity
+                    # streaming even at 1M-cube (r4_results.jsonl
+                    # hit16cap128). Downgrade to the q-granular kernels
+                    # instead of doubling; the frame re-runs from its
+                    # saved pre-frame state either way, and a later
+                    # q-table overflow grows max_candidates_hit below.
+                    updates["force_sub16"] = False
+                    updates["density_sub16"] = False
                 else:
                     updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
             cfg = dataclasses.replace(cfg, **updates)

@@ -188,3 +188,32 @@ def test_autotune_escalation():
         assert sim.step_config.tier2_mult == 4
         sim._grow_capacity(FLAG_CAPACITY_T2)
         assert sim.step_config.tier2_frac == 4
+
+
+def test_hit16_overflow_downgrades_to_q_granular():
+    """A 16-granular hit-table overflow is the deep-column signature
+    where the c16 kernels were measured to lose to the q-granular
+    scale config (river 25.5 vs 5.80 s/frame, r4_deliver.log): the
+    autotune must flip force/density_sub16 OFF instead of doubling
+    hit16 globally (+22 ms/substep of dead-capacity streaming at
+    1M-cube, r4_results.jsonl hit16cap128). A further overflow on the
+    q path then grows max_candidates_hit as before."""
+    from libclsph_tpu.engine.step import FLAG_CAPACITY_HIT
+    from test_engine import make_sim
+
+    import tempfile, pathlib
+
+    with tempfile.TemporaryDirectory() as td:
+        sim = make_sim(pathlib.Path(td), n=512, sim_time=0.017)
+        sim.step_config = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl",
+            force_query_rows=32, force_sub16=True, density_sub16=True,
+            max_candidates_hit16=64,
+        )
+        sim._grow_capacity(FLAG_CAPACITY_HIT)
+        cfg = sim.step_config
+        assert not cfg.force_sub16 and not cfg.density_sub16
+        assert cfg.max_candidates_hit16 == 64  # NOT doubled
+        assert cfg.max_candidates_hit == 96
+        sim._grow_capacity(FLAG_CAPACITY_HIT)
+        assert sim.step_config.max_candidates_hit == 192
