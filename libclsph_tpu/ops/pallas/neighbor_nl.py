@@ -1289,7 +1289,13 @@ def _forces_kernel_q32x4_c16(count_ref, q, qrow, *rest, h, spiky, visc,
                     tile = _tile_from_raw16(cs[g], s)
                     row = lambda k: tile[k : k + 1, :]
                 _forces_pair_q32(
-                    lambda k: q[0, k, g * Q32 : (g + 1) * Q32],
+                    # q is the (1, b, LANES) column pack (sublane s =
+                    # particle, lane k = field): a 1-lane slice IS the
+                    # (32, 1) query column. The old (1, f_q, b, 1)
+                    # operand tile-padded its trailing 1 to 128 lanes —
+                    # a 128x relayout copy (12 GB OOM at 4M, ~4.3 GB
+                    # hidden temp at 1M; measured, see ROUND4_NOTES).
+                    lambda k: q[0, g * Q32 : (g + 1) * Q32, k : k + 1],
                     row, qrow, acc_g,
                     h=h, spiky=spiky, visc=visc,
                     poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
@@ -1369,6 +1375,15 @@ def _nl32x4_call(kernel, q, cpack, cand_sub, count_tiles, out_rows,
     mg = mp // (TPS * group)
     dead = cpack.shape[0] - 1
     q_row = q[..., 0]
+    # column pack (nb, b, LANES): sublane = particle-in-block, lane =
+    # field index. Tile-aligned under T(8, 128) — the 4-D (nb, f_q, b,
+    # 1) operand layout pads its trailing 1 to 128 lanes with a 128x
+    # relayout copy (measured: 1 GB temp for an 8 MB operand; 12 GB
+    # chunk copies OOMed the 4M substep). 16x lane padding is explicit
+    # here (f_q=8 of 128 lanes used) but 8x smaller and copy-free.
+    q_cols = jnp.pad(
+        jnp.swapaxes(q_row, 1, 2), ((0, 0), (0, 0), (0, LANES - f_q))
+    )
     chunk4 = max(1, min(nb4, NL_CHUNK_BYTES // (mp * fs * 4)))
     chunk = max(1, chunk4 // QG)
 
@@ -1376,7 +1391,7 @@ def _nl32x4_call(kernel, q, cpack, cand_sub, count_tiles, out_rows,
         cand_c, count_c, qc, qrow_c = args
         nbc = qc.shape[0]
         in_specs = [
-            pl.BlockSpec((1, f_q, b, 1), lambda i, m, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, b, LANES), lambda i, m, *_: (i, 0, 0)),
             pl.BlockSpec((1, f_q, b), lambda i, m, *_: (i, 0, 0)),
         ]
         for g in range(QG):
@@ -1417,7 +1432,7 @@ def _nl32x4_call(kernel, q, cpack, cand_sub, count_tiles, out_rows,
         )(count_c, qc, qrow_c, *((raw,) * QG), *extra)
 
     if chunk >= nb:
-        return run_chunk((cand_sub, count_tiles, q, q_row))
+        return run_chunk((cand_sub, count_tiles, q_cols, q_row))
     nch = -(-nb // chunk)
     padq = nch * chunk - nb
     pad4 = padq * QG
@@ -1433,7 +1448,7 @@ def _nl32x4_call(kernel, q, cpack, cand_sub, count_tiles, out_rows,
         (
             cc(cand_sub, dead, pad4),
             cc(count_tiles, 0, pad4),
-            cc(q, 0, padq),
+            cc(q_cols, 0, padq),
             cc(q_row, 0, padq),
         ),
     )
