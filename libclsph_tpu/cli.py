@@ -117,6 +117,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "--halo-hops", type=int, default=1,
         help="ring exchange: ppermute hops per direction",
     )
+    ap.add_argument(
+        "--pretune", choices=["auto", "on", "off"], default="auto",
+        help="init-state capacity probe before the first compile "
+        "(engine/pretune.py); auto = on for >= 200k particles",
+    )
     ap.add_argument("--root", default=".", help="directory holding fluid_properties/ etc.")
     return ap
 
@@ -207,6 +212,7 @@ def main(argv=None) -> int:
     simulation = SPHSimulation(
         step_config=cfg, mesh=mesh, exchange=args.exchange,
         halo_max=args.halo_max, halo_hops=args.halo_hops,
+        pretune={"auto": "auto", "on": True, "off": False}[args.pretune],
     )
     saver = HoudiniFileSaver(args.out_prefix, use_partio=args.partio)
 

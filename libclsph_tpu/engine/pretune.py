@@ -1,0 +1,269 @@
+"""Init-time capacity pre-tune (round-5; VERDICT r4 item #4).
+
+The engine's reactive capacity autotune (simulation._grow_capacity) is
+exact but expensive when it fires: the flagged frame re-runs from its
+saved state under a NEW StepConfig, which recompiles the whole device
+program mid-run (river at 1M: first frame 261 s vs 152 s, one
+c16->q-granular downgrade + recompile; judge-measured, BASELINE.md).
+The reference avoids this class of stall by sizing its workgroups
+before the loop (sph_simulation.cpp:339-361).
+
+This module sizes the candidate capacities BEFORE the first compile by
+measuring the actual initial particle distribution with a cheap
+XLA-only probe (no Pallas kernels, so its compile is seconds, not
+minutes):
+
+* exact per-query-subgroup TRUE-HIT counts at 16- and 32-wide
+  candidate granularity (the quantities that trip FLAG_CAPACITY_HIT),
+* refined candidate-list depths at the production granularity
+  (FLAG_CAPACITY_SUB / tier-2 sizing),
+* block-level candidate counts (FLAG_CAPACITY).
+
+The policy then mirrors _grow_capacity's measured rules (see
+r4_results.jsonl: hit16 cap 128 = +22 ms/substep of dead-capacity
+streaming at 1M; the c16->q downgrade beats a global hit16 doubling on
+deep-column scenes) — but applies them up front, so deep-column scenes
+like river/labyrinth compile ONCE with a fitting config instead of
+crash-recompiling on frame 1.
+
+The probe sees only the INITIAL state; distributions that develop deep
+columns later still fall back to the reactive autotune, which remains
+the correctness backstop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import morton
+from ..core.params import SimulationParameters
+from ..core.state import ParticleState
+from ..ops import grid as grid_ops
+from ..ops import tiles as tiles_ops
+from ..utils.logging import get_logger
+
+log = get_logger(__name__)
+
+# capacities are sized so the probed max fills at most this fraction —
+# the flow deepens after init, and the reactive autotune only saves a
+# frame re-run if the margin is never consumed
+HEADROOM = 0.875
+# probe chunk: blocks of pair tests per lax.map step (memory bound)
+_CHUNK_BLOCKS = 8
+
+
+@partial(jax.jit, static_argnames=("params", "config", "cap_blocks", "cap_sub"))
+def _probe_counts(
+    state: ParticleState,
+    params: SimulationParameters,
+    config,
+    cap_blocks: int,
+    cap_sub: int,
+):
+    """XLA-only mirror of the substep's candidate machinery on one
+    state, returning occupancy statistics (all device scalars).
+
+    Mirrors engine/step.substep's pad/sort + _density_forces_pallas_nl's
+    candidate build at 16-subblock granularity, then computes EXACT
+    true-hit counts per 32-query subgroup with a dense pair sweep over
+    the refined lists (the XLA form of the density kernel's hit flags).
+    """
+    n = params.particles_count
+    B = config.block_size
+    h = float(params.h)
+    h_search = h * (1.0 + config.cand_slack) if config.cand_interval > 1 else h
+
+    position = state.position
+    grid = grid_ops.compute_bounds(position, params)
+    codes = grid_ops.locate_in_grid(position, grid)
+    grid_bad = jnp.any(
+        grid.grid_size >= morton.MAX_GRID_DIM
+    ) | grid_ops.grid_exceeds_sort_bits(grid.grid_size)
+
+    np_ = tiles_ops.padded_count(n, B)
+    pad = np_ - n
+    if pad:
+        far = grid.max_point + 1000.0 * h
+        position = jnp.concatenate(
+            [position, jnp.broadcast_to(far, (pad, 3))], axis=0
+        )
+        codes = jnp.concatenate(
+            [codes, jnp.full((pad,), tiles_ops.SENTINEL_CODE, jnp.uint32)]
+        )
+    order = jnp.argsort(codes)
+    position = jnp.take(position, order, axis=0)
+    real = jnp.take(jnp.arange(np_) < n, order)
+
+    nb = np_ // B
+    pos_blk = position.reshape(nb, B, 3)
+    real_blk = real.reshape(nb, B)
+    bmin, bmax = tiles_ops.split_block_bounds(pos_blk, real_blk)
+    cand, count, ovf = tiles_ops.candidate_blocks_auto(
+        bmin, bmax, h_search, cap_blocks
+    )
+
+    sub = B // 16  # 16-wide subblocks per block (the c16 granularity)
+    sub_lo, sub_hi = tiles_ops.subblock_bounds(pos_blk, real_blk, sub)
+    self_lo = jnp.arange(nb, dtype=jnp.int32) * sub
+    cand_sub, count_sub, ovf2 = tiles_ops.refine_candidates(
+        cand, count, bmin, bmax, sub_lo, sub_hi, h_search, sub, cap_sub,
+        self_lo=self_lo, self_width=sub,
+    )
+
+    # exact true-hit counts per 32-query subgroup (QG = 4 per block):
+    # a candidate 16-subblock is a HIT when any of its live particles
+    # is within h of any live query particle — identical to the density
+    # kernel's hit-flag rule (neighbor._emit_hit_flags), computed here
+    # as a dense chunked pair sweep.
+    sent = tiles_ops.REFINE_SENTINEL
+    c16_pos = position.reshape(nb * sub, 16, 3)
+    c16_real = real.reshape(nb * sub, 16)
+    h2 = jnp.float32(h * h)
+    big = jnp.int32(nb * sub + 1)
+
+    def chunk_fn(args):
+        ids, qp, qreal = args  # (C, cap) , (C, B, 3), (C, B)
+        live = ids != sent
+        safe = jnp.where(live, ids, 0)
+        cp = c16_pos[safe]  # (C, cap, 16, 3)
+        creal = c16_real[safe] & live[..., None]  # (C, cap, 16)
+        c = ids.shape[0]
+        q = qp.reshape(c, 4, 32, 1, 1, 3)
+        d2 = jnp.sum((q - cp[:, None, None]) ** 2, axis=-1)  # (C,4,32,cap,16)
+        ok = (
+            (d2 < h2)
+            & creal[:, None, None]
+            & qreal.reshape(c, 4, 32)[..., None, None]
+        )
+        hit16 = jnp.any(ok, axis=(2, 4))  # (C, 4, cap)
+        cnt16 = jnp.sum(hit16, axis=-1)  # (C, 4)
+        # distinct 32-wide parents among hit 16-slots (sizes the
+        # q-granular fallback's per-subgroup cap, step.py cap32)
+        parent = jnp.where(hit16, safe[:, None, :] // 2, big)
+        ps = jnp.sort(parent, axis=-1)
+        first = (ps[..., :1] < big).astype(jnp.int32)
+        cnt32 = first[..., 0] + jnp.sum(
+            (ps[..., 1:] != ps[..., :-1]) & (ps[..., 1:] < big), axis=-1
+        )
+        return cnt16, cnt32
+
+    pad_b = (-nb) % _CHUNK_BLOCKS
+    def padcat(a, fill):
+        return (
+            jnp.concatenate(
+                [a, jnp.full((pad_b,) + a.shape[1:], fill, a.dtype)]
+            )
+            if pad_b
+            else a
+        )
+
+    ids_c = padcat(cand_sub, sent).reshape(-1, _CHUNK_BLOCKS, cand_sub.shape[1])
+    qp_c = padcat(pos_blk, 0.0).reshape(-1, _CHUNK_BLOCKS, B, 3)
+    qr_c = padcat(real_blk, False).reshape(-1, _CHUNK_BLOCKS, B)
+    cnt16, cnt32 = jax.lax.map(chunk_fn, (ids_c, qp_c, qr_c))
+
+    return dict(
+        grid_bad=grid_bad,
+        cand_max=jnp.max(count),
+        cand_ovf=ovf,
+        sub16_max=jnp.max(count_sub),
+        sub16_ovf=ovf2,
+        sub16_counts_hist=count_sub,  # (nb,) full depths for tier sizing
+        hit16_max=jnp.max(cnt16),
+        hit32_max=jnp.max(cnt32),
+    )
+
+
+def _roundup(x: int, m: int = 8) -> int:
+    return -(-int(x) // m) * m
+
+
+def pretune_config(state, params, config, probe_cap_sub: int | None = None):
+    """Probe ``state`` and return a (possibly updated) StepConfig plus
+    the probe stats (host ints), or (config, None) when the production
+    shape doesn't use the probed machinery.
+
+    Policy (mirrors simulation._grow_capacity, applied up front):
+
+    * hit16 pressure (the river failure mode): if the measured max
+      per-subgroup 16-granular true-hit count exceeds HEADROOM x
+      max_candidates_hit16, DOWNGRADE to the q-granular kernels now
+      (measured: a global hit16 doubling costs +22 ms/substep of dead
+      streaming and still lost to q-granular on river — r4), and size
+      the q-path per-subgroup cap from the measured 32-granular max.
+    * block cap: grow max_candidates to fit the measured max.
+    * subblock cap: if refined depths exceed max_candidates_sub,
+      enable tier-2 routing sized so the heavy rows fit its pool, or
+      grow tier2_mult when even the tier-2 width is short.
+    """
+    cfg = config
+    if not (
+        cfg.neighbor_impl == "pallas"
+        and cfg.pallas_variant == "nl"
+        and cfg.nl_query_rows >= cfg.block_size
+        and cfg.hit_compact
+        and cfg.force_query_rows == 32
+        and cfg.force_sub16
+    ):
+        return cfg, None
+
+    cap_probe = probe_cap_sub or max(
+        384, cfg.max_candidates_sub * max(2, cfg.tier2_mult)
+    )
+    stats = _probe_counts(
+        state, params, cfg, cap_blocks=cfg.max_candidates, cap_sub=cap_probe
+    )
+    counts_sub = jax.device_get(stats.pop("sub16_counts_hist"))
+    s = {k: int(v) for k, v in jax.device_get(stats).items()}
+    nb = counts_sub.shape[0]
+    updates = {}
+
+    # ---- block-level candidate cap (FLAG_CAPACITY)
+    if s["cand_ovf"] or s["cand_max"] > HEADROOM * cfg.max_candidates:
+        grown = cfg.max_candidates
+        while s["cand_max"] > HEADROOM * grown or s["cand_ovf"]:
+            grown *= 2
+            if s["cand_ovf"]:
+                break  # true max unknown beyond the probe cap: one step
+        updates["max_candidates"] = grown
+
+    # ---- hit-capacity regime: c16 vs q-granular (FLAG_CAPACITY_HIT)
+    if s["hit16_max"] > HEADROOM * cfg.max_candidates_hit16:
+        updates["force_sub16"] = False
+        updates["density_sub16"] = False
+        # q path uses per-subgroup cap32 = max(32, max_candidates_hit // 2)
+        need32 = _roundup(s["hit32_max"] / HEADROOM)
+        if need32 > max(32, cfg.max_candidates_hit // 2):
+            updates["max_candidates_hit"] = 2 * need32
+        sub_eff = 4  # q path refines at 32-wide granularity (B / SUB)
+    else:
+        sub_eff = 8
+
+    # ---- refined-list depths (FLAG_CAPACITY_SUB / FLAG_CAPACITY_T2).
+    # The probe refines at 16-granularity; the q-granular path's 32-wide
+    # depths are bounded by (and close to half of) the 16-wide depths.
+    scale = 1.0 if sub_eff == 8 else 0.5
+    depth = counts_sub * scale
+    c1 = cfg.max_candidates_sub
+    dmax = float(depth.max()) if nb else 0.0
+    n_heavy = int((depth > c1).sum())
+    can_t2 = True  # production nl shape (checked above)
+    if dmax > HEADROOM * c1 and can_t2:
+        frac = cfg.tier2_frac or 8
+        while frac > 1 and n_heavy > (nb // frac) * 0.75:
+            frac //= 2
+        updates["tier2_frac"] = frac
+        mult = max(2, cfg.tier2_mult)
+        while dmax > HEADROOM * c1 * mult:
+            mult *= 2
+        updates["tier2_mult"] = mult
+
+    if not updates:
+        return cfg, s
+    log.warning("capacity pre-tune (init-state probe %s): applying %s",
+                s, updates)
+    return dataclasses.replace(cfg, **updates), s

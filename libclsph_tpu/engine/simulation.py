@@ -80,12 +80,19 @@ class SPHSimulation:
         exchange: str = "all_gather",
         halo_max: int = 0,
         halo_hops: int = 1,
+        pretune: bool | str = "auto",
     ):
         """``mesh``: a 1-D ``jax.sharding.Mesh`` to run multi-chip —
         the state is Morton-partitioned across devices and every
         substep runs under shard_map (parallel/sharded_step.py).
         ``exchange`` ('all_gather' | 'halo' | 'ring') / ``halo_max`` /
         ``halo_hops`` pick the neighbour-exchange strategy.
+        ``pretune``: run the init-state capacity probe
+        (engine/pretune.py) before the first compile so deep-column
+        scenes don't pay a mid-run capacity recompile. ``'auto'``
+        (default) probes when a recompile would be expensive
+        (particles_count >= 200k); True/False force it. Single-chip
+        only (the sharded path keeps the reactive autotune).
         """
         self.parameters: Optional[SimulationParameters] = None
         self.precomputed_terms: Optional[PrecomputedKernelValues] = None
@@ -108,6 +115,7 @@ class SPHSimulation:
                 "(the carried refined lists are an nl-kernel feature)"
             )
         self.capacity_retries = 0
+        self.pretune = pretune
         self.checkpoint_path = ckpt_mod.DEFAULT_CHECKPOINT
         self.mesh = mesh
         self.exchange = exchange
@@ -264,13 +272,31 @@ class SPHSimulation:
                 "LIBCLSPH_TPU_SORT_BITS key width; check dt / fluid "
                 "stiffness, or raise the sort bits"
             )
-        if f & FLAG_EXCHANGE:
-            raise RuntimeError(
-                "ring halo exchange out of reach: a shard whose particles "
-                "neighbour this one is more than halo_hops ring hops away; "
-                "increase halo_hops or use exchange='all_gather'"
-            )
         rerun = False
+        if f & FLAG_EXCHANGE:
+            # ring exchange under-reach is a capacity condition like any
+            # other: grow halo_hops and re-run the frame (r5; previously
+            # raised). Hop budgets saturate at full ring coverage
+            # ((S+1)//2 per direction) where the reach check can no
+            # longer fire — long flow-through runs under static shard
+            # ownership decay toward that bound by design
+            # (parallel/sharded_step.py ownership note).
+            n_shards = self.mesh.devices.size if self.mesh is not None else 1
+            max_hops = (n_shards + 1) // 2
+            if self.halo_hops >= max_hops:
+                raise RuntimeError(
+                    "ring halo exchange out of reach at full ring "
+                    "coverage — this indicates an exchange bug, not a "
+                    "capacity shortfall"
+                )
+            # no capacity_retries charge: growth is already bounded by
+            # max_hops (at most log2(S) growths ever)
+            self.halo_hops = min(max_hops, max(self.halo_hops * 2, 1))
+            log.warning(
+                "ring exchange under-reach - growing halo_hops to %d "
+                "and re-running frame", self.halo_hops,
+            )
+            rerun = True
         if f & FLAGS_ALL_CAPACITY:
             self._grow_capacity(f)
             rerun = True
@@ -360,6 +386,14 @@ class SPHSimulation:
         t_start = _time.perf_counter()
         self.device_scene = collisions_ops.build_device_scene(self.current_scene)
         saver = AsyncSaver()
+
+        if self.exchange in ("halo", "ring") and not self.halo_max:
+            # default surface budget: every local block may be surface
+            # (the CLI applies the same substitution; halo_max=0 would
+            # otherwise overflow the surface set on every substep)
+            chunk = self.mesh.devices.size * self.step_config.block_size
+            padded = -(-p.particles_count // chunk) * chunk
+            self.halo_max = padded // chunk
 
         state = self.init_particles()
         state = pad_for_mesh(state, p, self.mesh, self.step_config)
@@ -477,6 +511,16 @@ class SPHSimulation:
         t_start = _time.perf_counter()
         self.device_scene = collisions_ops.build_device_scene(self.current_scene)
         state = self.init_particles()
+        want_pretune = (
+            self.pretune is True
+            or (self.pretune == "auto" and p.particles_count >= 200_000)
+        )
+        if want_pretune:
+            from . import pretune as pretune_mod
+
+            self.step_config, _stats = pretune_mod.pretune_config(
+                state, p, self.step_config
+            )
         saver = AsyncSaver()
 
         timeperframe = p.frame_time
