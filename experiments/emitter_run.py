@@ -36,9 +36,9 @@ from libclsph_tpu.scene.obj_loader import load_obj
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=262144)
-    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--out", default=None, help="frame prefix (.geo export)")
-    ap.add_argument("--recycle-frac", type=float, default=0.03,
+    ap.add_argument("--recycle-frac", type=float, default=0.25,
                     help="max fraction of particles recycled per frame")
     args = ap.parse_args()
     root = os.path.join(os.path.dirname(__file__), "..")
@@ -79,8 +79,51 @@ def main():
     sim.initial_volume = sim.parameters.initial_volume
     sim.load_scene("monkey.obj", scenes_dir=os.path.join(root, "scenes"))
 
+    # ---- initial state: a shower ALREADY in progress (r4 verdict #5 —
+    # the default dam lattice spawns ~2.4 m above the recycle plane and
+    # needs ~32 frames of free fall before the first recycle; the r4 run
+    # measured a block drop, not the steady state). Build a falling
+    # column from just above the recycle plane up toward the tray, with
+    # the monkey.obj AABB (dilated) carved out, everything moving at the
+    # nozzle jet velocity — recycling engages by frame ~3.
+    import jax.numpy as jnp
+
+    from libclsph_tpu.core.state import ParticleState
+
+    p = sim.parameters
+    spacing = (p.initial_volume / args.n) ** (1.0 / 3.0)
+    half = 1.2  # column cross-section (covers the tray footprint)
+    xs = np.arange(-half, half, spacing)
+    zs = np.arange(-half, half, spacing)
+    mk_lo = np.array([-0.75, -1.25, -0.64])  # monkey AABB + 0.1 dilation
+    mk_hi = np.array([0.75, 0.05, 0.64])
+    pts = []
+    y = -1.30
+    while len(pts) < args.n:
+        xx, zz = np.meshgrid(xs, zs, indexing="ij")
+        layer = np.stack(
+            [xx.ravel(), np.full(xx.size, y), zz.ravel()], axis=1
+        )
+        inside = np.all((layer > mk_lo) & (layer < mk_hi), axis=1)
+        pts.append(layer[~inside])
+        y += spacing
+    pos = np.concatenate(pts)[: args.n].astype(np.float32)
+    jet = np.tile(np.float32([0.0, -1.5, 0.0]), (args.n, 1))
+    sim.init_particles = lambda: ParticleState(
+        position=jnp.asarray(pos),
+        velocity=jnp.asarray(jet),
+        intermediate_velocity=jnp.asarray(jet),
+        acceleration=jnp.zeros((args.n, 3), jnp.float32),
+        density=jnp.zeros((args.n,), jnp.float32),
+        pressure=jnp.zeros((args.n,), jnp.float32),
+        grid_index=jnp.zeros((args.n,), jnp.uint32),
+    )
+    print(f"column init: y in [-1.30, {y:.2f}], spacing {spacing:.4f}",
+          file=sys.stderr)
+
     rng = np.random.default_rng(0)
     recycled = [0]
+    recycled_per_frame = []
     frame_times = []
     last = [time.perf_counter()]
     budget = max(1, int(args.n * args.recycle_frac))
@@ -95,6 +138,7 @@ def main():
         # steady state) back to the nozzle sites with the jet velocity
         settled = pos[:, 1] < -1.4
         idx = np.where(settled)[0][:budget]
+        recycled_per_frame.append(len(idx))
         if len(idx) == 0:
             return False
         s = sites[rng.integers(0, len(sites), len(idx))]
@@ -117,11 +161,14 @@ def main():
     wall = time.perf_counter() - t0
 
     ft = np.asarray(frame_times[1:])  # drop the compile frame
+    steady = sum(1 for r in recycled_per_frame if r > 0)
     out = {
         "metric": "s/frame shower.obj emitter onto monkey.obj",
         "n": args.n,
         "frames": len(frame_times),
         "recycled": recycled[0],
+        "recycled_per_frame": recycled_per_frame,
+        "frames_with_recycling": steady,
         "median_s_per_frame": round(float(np.median(ft)), 3) if len(ft) else None,
         "mean_s_per_frame": round(float(ft.mean()), 3) if len(ft) else None,
         "first_frame_s": round(frame_times[0], 1) if frame_times else None,
