@@ -126,6 +126,7 @@ def bench_mesh(args, params, cfg, scene_dev, state, dt, n, platform, log):
         if f & FLAG_CAPACITY_HIT:
             updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
             updates["max_candidates_hit16"] = cfg.max_candidates_hit16 * 2
+            updates["max_candidates_hit8"] = cfg.max_candidates_hit8 * 2
         if f & FLAG_CAND_STALE:
             updates["cand_slack"] = cfg.cand_slack * 2
         if not updates:
@@ -198,6 +199,11 @@ def main():
                     default=True,
                     help="16-wide candidate subblocks for the q32 force pass")
     ap.add_argument("--max-candidates-hit16", type=int, default=64)
+    ap.add_argument("--force-sub8", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="8-wide candidate subblocks for the q32 force "
+                    "pass (r5; requires --density-sub16)")
+    ap.add_argument("--max-candidates-hit8", type=int, default=96)
     ap.add_argument("--density-sub16", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="16-wide candidate tables for the density pass too "
@@ -258,6 +264,8 @@ def main():
         force_sub16=args.force_sub16,
         max_candidates_hit16=args.max_candidates_hit16,
         density_sub16=args.density_sub16,
+        force_sub8=args.force_sub8,
+        max_candidates_hit8=args.max_candidates_hit8,
         tier2_frac=args.tier2_frac,
         tier2_mult=args.tier2_mult,
         sort_interval=args.sort_interval,
@@ -282,7 +290,7 @@ def main():
         # the 16-granular density path needs whole-128 query rows;
         # quietly fall back at smaller blocks (the defaults are sized
         # for the production 128 shape)
-        cfg = _dc.replace(cfg, density_sub16=False)
+        cfg = _dc.replace(cfg, density_sub16=False, force_sub8=False)
 
     scene_dev = None
     if args.scene != "none":
@@ -360,7 +368,9 @@ def main():
         if ovf & FLAG_CAPACITY_T2:
             updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
         if ovf & FLAG_CAPACITY_HIT:
-            if cfg.force_sub16 and cfg.force_query_rows == 32:
+            if cfg.force_sub8 and cfg.density_sub16:
+                updates["max_candidates_hit8"] = cfg.max_candidates_hit8 * 2
+            elif cfg.force_sub16 and cfg.force_query_rows == 32:
                 updates["max_candidates_hit16"] = cfg.max_candidates_hit16 * 2
             else:
                 updates["max_candidates_hit"] = cfg.max_candidates_hit * 2

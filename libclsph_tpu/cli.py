@@ -75,6 +75,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="16-wide candidate subblocks for the density pass too",
     )
     ap.add_argument(
+        "--force-sub8", action=argparse.BooleanOptionalAction, default=False,
+        help="8-wide candidate subblocks for the q32 force pass "
+        "(requires --density-sub16; single-chip only)",
+    )
+    ap.add_argument(
+        "--max-candidates-hit8", type=int, default=96,
+        help="per-subgroup capacity for the 8-wide force pass",
+    )
+    ap.add_argument(
         "--tier2-frac", type=int, default=0,
         help="two-tier candidate-capacity routing (0 = off)",
     )
@@ -149,6 +158,8 @@ def main(argv=None) -> int:
         force_sub16=args.force_sub16,
         max_candidates_hit16=args.max_candidates_hit16,
         density_sub16=args.density_sub16,
+        force_sub8=args.force_sub8 and not args.mesh,
+        max_candidates_hit8=args.max_candidates_hit8,
         tier2_frac=args.tier2_frac,
         sort_interval=args.sort_interval,
         cand_interval=args.cand_interval,
@@ -195,6 +206,9 @@ def main(argv=None) -> int:
         # the 16-granular density path needs the pallas nl shape at
         # whole-128 query rows; quietly fall back elsewhere
         cfg = dataclasses.replace(cfg, density_sub16=False)
+    if cfg.force_sub8 and not cfg.density_sub16:
+        # sub-8 rides the 16-granular tables; follows the same fallback
+        cfg = dataclasses.replace(cfg, force_sub8=False)
     mesh = None
     if args.mesh:
         import jax

@@ -141,6 +141,10 @@ def _probe_counts(
         )
         hit16 = jnp.any(ok, axis=(2, 4))  # (C, 4, cap)
         cnt16 = jnp.sum(hit16, axis=-1)  # (C, 4)
+        # 8-granular hits (sizes max_candidates_hit8 for force_sub8):
+        # one flag per HALF of each 16-wide slot
+        ok8 = ok.reshape(c, 4, 32, ids.shape[1], 2, 8)
+        cnt8 = jnp.sum(jnp.any(ok8, axis=(2, 5)), axis=(-2, -1))  # (C, 4)
         # distinct 32-wide parents among hit 16-slots (sizes the
         # q-granular fallback's per-subgroup cap, step.py cap32)
         parent = jnp.where(hit16, safe[:, None, :] // 2, big)
@@ -149,7 +153,7 @@ def _probe_counts(
         cnt32 = first[..., 0] + jnp.sum(
             (ps[..., 1:] != ps[..., :-1]) & (ps[..., 1:] < big), axis=-1
         )
-        return cnt16, cnt32
+        return cnt16, cnt32, cnt8
 
     pad_b = (-nb) % _CHUNK_BLOCKS
     def padcat(a, fill):
@@ -164,7 +168,7 @@ def _probe_counts(
     ids_c = padcat(cand_sub, sent).reshape(-1, _CHUNK_BLOCKS, cand_sub.shape[1])
     qp_c = padcat(pos_blk, 0.0).reshape(-1, _CHUNK_BLOCKS, B, 3)
     qr_c = padcat(real_blk, False).reshape(-1, _CHUNK_BLOCKS, B)
-    cnt16, cnt32 = jax.lax.map(chunk_fn, (ids_c, qp_c, qr_c))
+    cnt16, cnt32, cnt8 = jax.lax.map(chunk_fn, (ids_c, qp_c, qr_c))
 
     return dict(
         grid_bad=grid_bad,
@@ -175,6 +179,7 @@ def _probe_counts(
         sub16_counts_hist=count_sub,  # (nb,) full depths for tier sizing
         hit16_max=jnp.max(cnt16),
         hit32_max=jnp.max(cnt32),
+        hit8_max=jnp.max(cnt8),
     )
 
 
@@ -235,6 +240,7 @@ def pretune_config(state, params, config, probe_cap_sub: int | None = None):
     if s["hit16_max"] > HEADROOM * cfg.max_candidates_hit16:
         updates["force_sub16"] = False
         updates["density_sub16"] = False
+        updates["force_sub8"] = False
         # q path uses per-subgroup cap32 = max(32, max_candidates_hit // 2)
         need32 = _roundup(s["hit32_max"] / HEADROOM)
         if need32 > max(32, cfg.max_candidates_hit // 2):
@@ -242,6 +248,13 @@ def pretune_config(state, params, config, probe_cap_sub: int | None = None):
         sub_eff = 4  # q path refines at 32-wide granularity (B / SUB)
     else:
         sub_eff = 8
+        if cfg.force_sub8:
+            # size the 8-granular hit cap from the measured max
+            # (capacity = streamed bytes: round to 16-slot tiles, no
+            # doubling — the engine autotune still backstops growth)
+            need8 = _roundup(s["hit8_max"] / HEADROOM, 16)
+            if need8 > cfg.max_candidates_hit8:
+                updates["max_candidates_hit8"] = need8
 
     # ---- refined-list depths (FLAG_CAPACITY_SUB / FLAG_CAPACITY_T2).
     # The probe refines at 16-granularity; the q-granular path's 32-wide

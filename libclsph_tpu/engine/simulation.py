@@ -246,6 +246,7 @@ class SPHSimulation:
                     # q-table overflow grows max_candidates_hit below.
                     updates["force_sub16"] = False
                     updates["density_sub16"] = False
+                    updates["force_sub8"] = False
                 else:
                     updates["max_candidates_hit"] = cfg.max_candidates_hit * 2
             cfg = dataclasses.replace(cfg, **updates)

@@ -122,6 +122,18 @@ class StepConfig:
     # 32-wide whole-block panels). NOTE: max_candidates_sub then
     # counts 16-wide subblocks — size it ~1.5x the 32-wide cap.
     density_sub16: bool = False
+    # 8-wide candidate subblocks for the q32 force pass (r5; requires
+    # density_sub16 + force_sub16): the density kernel emits flags per
+    # HALF of each 16-granular candidate slot (hit_sub=8) and the
+    # force pass gathers 8-particle pack rows paired two-per-128-lane
+    # stream row (ops/pallas/neighbor_nl.py fused_forces_nl32_c8).
+    # Finer granularity cuts the dead-lane share of the force stream
+    # (~552 -> ~384 true-hit lanes/particle at 1M) and the streamed
+    # window (256 vs 512 B/slot). Single-chip only (self-exclusion by
+    # slot-arithmetic gid reconstruction); the sharded path keeps
+    # sub16. Incompatible with density_gate.
+    force_sub8: bool = False
+    max_candidates_hit8: int = 96
     # Two-tier candidate-capacity routing (nl variant, nl_query_rows
     # 128 only). 0 disables. k > 0: blocks whose refined count exceeds
     # max_candidates_sub are routed to a pool of ceil(nb/k) tier-2
@@ -390,6 +402,12 @@ def _density_forces_pallas_nl(
             "rows (block_size >= 128) with force_query_rows=32 + "
             "force_sub16 + hit_compact"
         )
+    if config.force_sub8 and not dsub16:
+        raise ValueError(
+            "force_sub8 requires density_sub16 (16-granular tables)"
+        )
+    if config.force_sub8 and config.density_gate:
+        raise ValueError("force_sub8 is incompatible with density_gate")
     reuse_on = config.cand_interval > 1
     if reuse_on and (asm or q_rep > 1):
         raise ValueError(
@@ -528,6 +546,12 @@ def _density_forces_pallas_nl(
                 real, mass=mass, center=center, with_gid=False,
             )
 
+        def make_c8_pack(density, pressure):
+            return nl.make_c8_force_pack(
+                state.position, state.velocity, density, pressure,
+                real, mass=mass, center=center,
+            )
+
         cand_out_t2 = (
             (cand_sub, count_sub, pos_anchor) if reuse_on else None
         )
@@ -536,6 +560,7 @@ def _density_forces_pallas_nl(
             real, params, terms, config, r2_mxu,
             cand_sub, count_sub, self_lo, sub, flags,
             make_c16_pack=make_c16_pack,
+            make_c8_pack=make_c8_pack,
         ) + (cand_out_t2,)
 
     mass = params.particle_mass
@@ -561,6 +586,7 @@ def _density_forces_pallas_nl(
         and q_rows == 128
     )
     sub16 = force_q32 and config.force_sub16
+    sub8 = sub16 and dsub16 and config.force_sub8
     if force_q32:
         # per-QUERY-SUBGROUP hit lists: 807 vs 1677 true-hit
         # slots/particle at 1M (experiments/volume_probe.py), no extra
@@ -588,9 +614,30 @@ def _density_forces_pallas_nl(
             density, hits = fused_density(
                 q_pos, c_pos_pack, cand_sub, count_sub, params, terms,
                 real, r2_mxu=r2_mxu, want_hits=True, hit_groups=nl.QG,
-                hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=dsub16,
+                hit_sub=(
+                    nl.SUB8 if sub8
+                    else (nl.SUB16 if sub16 else nl.SUB)
+                ),
+                c16=dsub16,
             )
-        if dsub16:
+        if sub8:
+            # 16-granular ids -> 8-granular half ids (slot 2j covers
+            # half 0 of cand_sub[i, j]), matching the hit_sub=8 flag
+            # layout (flag slot k of a tile = 8-lane run k)
+            sent = tiles_ops.REFINE_SENTINEL
+            twice = jnp.where(cand_sub == sent, sent, cand_sub * 2)
+            ids8 = jnp.stack(
+                [twice, jnp.where(cand_sub == sent, sent, twice + 1)],
+                axis=-1,
+            ).reshape(cand_sub.shape[0], -1)
+            cand_f, count_f, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(ids8, nl.QG, axis=0),
+                hits[:, : ids8.shape[1]],
+                config.max_candidates_hit8,
+                self_lo=jnp.repeat(self_lo * 2, nl.QG),
+                self_width=2 * sub,
+            )
+        elif dsub16:
             # candidate ids are already 16-granular (refine at sub=8):
             # flags are slot-aligned with cand_sub, no interleave
             cand_f, count_f, ovf3 = tiles_ops.compact_hits(
@@ -657,7 +704,16 @@ def _density_forces_pallas_nl(
         state.position, state.velocity, density, pressure, real, mass=mass,
         center=center,
     )
-    if sub16:
+    if sub8:
+        c8_pack = nl.make_c8_force_pack(
+            state.position, state.velocity, density, pressure, real,
+            mass=mass, center=center,
+        )
+        accel = nl.fused_forces_nl32_c8(
+            q_force, c8_pack, cand_f, count_f, params, terms, real,
+            density, r2_mxu=r2_mxu,
+        )
+    elif sub16:
         c16_pack = nl.make_c16_force_pack(
             state.position, state.velocity, density, pressure, real,
             mass=mass, center=center, with_gid=False,
@@ -696,6 +752,7 @@ def nl_two_tier_passes(
     flags: jnp.ndarray,
     fix_density=None,
     make_c16_pack=None,
+    make_c8_pack=None,
 ):
     """Two-tier density/force passes (see StepConfig.tier2_frac).
 
@@ -758,6 +815,12 @@ def nl_two_tier_passes(
     # c16 pair-volume advantage instead of falling back to 32-wide
     # whole-block panels. Requires sub16 (the c16 force pack).
     c16_all = config.density_sub16 and sub16
+    # sub-8 force streams under tier2 (both tiers run the c8 kernels;
+    # the sharded caller passes no make_c8_pack and keeps sub16)
+    sub8 = c16_all and config.force_sub8 and make_c8_pack is not None
+    hit_sub_t = (
+        nl.SUB8 if sub8 else (nl.SUB16 if sub16 else nl.SUB)
+    )
 
     # ---- density (+ hit flags), both tiers
     if config.hit_compact:
@@ -765,13 +828,16 @@ def nl_two_tier_passes(
             q_pos, c_pos_pack, cand1, count1, params, terms, real,
             r2_mxu=r2_mxu, want_hits=True,
             hit_groups=nl.QG if force_q32 else 1,
-            hit_sub=nl.SUB16 if sub16 else nl.SUB, c16=c16_all,
+            hit_sub=hit_sub_t, c16=c16_all,
         )
         density2, hits2 = nl.fused_density_nl(
             q_pos2, c_pos_pack, cand2, count2, params, terms, real2,
             r2_mxu=r2_mxu, want_hits=True,
             hit_groups=nl.QG if c16_all else 1,
-            hit_sub=nl.SUB16 if c16_all else nl.SUB, c16=c16_all,
+            hit_sub=(
+                hit_sub_t if c16_all else nl.SUB
+            ),
+            c16=c16_all,
         )
     else:
         density1 = nl.fused_density_nl(
@@ -799,14 +865,41 @@ def nl_two_tier_passes(
         None if c16_all else make_c_force_pack(density, pressure)
     )
     c16_pack = (
-        make_c16_pack(density, pressure) if sub16 or c16_all else None
+        make_c16_pack(density, pressure)
+        if (sub16 or c16_all) and not sub8 else None
     )
+    c8_pack = make_c8_pack(density, pressure) if sub8 else None
+
+    def ids8_of(cand16):
+        # 16-granular ids -> 8-granular half ids (see the single-tier
+        # sub8 branch in _density_forces_pallas_nl)
+        sent = tiles_ops.REFINE_SENTINEL
+        twice = jnp.where(cand16 == sent, sent, cand16 * 2)
+        return jnp.stack(
+            [twice, jnp.where(cand16 == sent, sent, twice + 1)], axis=-1
+        ).reshape(cand16.shape[0], -1)
     q_force2 = jnp.take(q_force, idx, axis=0)
     density2m = jnp.take(density.reshape(nb, B), idx, axis=0).reshape(-1)
 
     # ---- forces, tier 1
     if config.hit_compact:
-        if c16_all:
+        if sub8:
+            ids1 = ids8_of(cand1)
+            cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
+                jnp.repeat(ids1, nl.QG, axis=0),
+                hits1[:, : ids1.shape[1]],
+                config.max_candidates_hit8,
+                self_lo=(
+                    None if self_lo is None
+                    else jnp.repeat(self_lo * 2, nl.QG)
+                ),
+                self_width=2 * sub,
+            )
+            accel1 = nl.fused_forces_nl32_c8(
+                q_force, c8_pack, cand_f1, count_f1, params, terms,
+                real, density, r2_mxu=r2_mxu,
+            )
+        elif c16_all:
             # ids are natively 16-granular (the refine ran at sub =
             # B/16); flags are slot-aligned — no interleave
             cand_f1, count_f1, ovf3 = tiles_ops.compact_hits(
@@ -867,7 +960,20 @@ def nl_two_tier_passes(
                 q_force, c_force_pack, cand_f1, count_f1, params, terms,
                 real, density, r2_mxu=r2_mxu,
             )
-        if c16_all:
+        if sub8:
+            ids2 = ids8_of(cand2)
+            hit8cap2 = config.max_candidates_hit8 * config.tier2_mult
+            cand_f2, count_f2, ovf4 = tiles_ops.compact_hits(
+                jnp.repeat(ids2, nl.QG, axis=0),
+                hits2[:, : ids2.shape[1]],
+                hit8cap2,
+                self_lo=(
+                    None if self_lo2 is None
+                    else jnp.repeat(self_lo2 * 2, nl.QG)
+                ),
+                self_width=2 * sub,
+            )
+        elif c16_all:
             # tier-2 keeps the 16-granular q32 force pass (the unified
             # c16 scale config): per-subgroup hit lists at tier2_mult x
             # the base 16-wide capacity
@@ -897,7 +1003,12 @@ def nl_two_tier_passes(
         )
 
     # ---- forces, tier 2, then merge
-    if c16_all:
+    if sub8:
+        accel2 = nl.fused_forces_nl32_c8(
+            q_force2, c8_pack, cand_f2, count_f2, params, terms, real2,
+            density2m, r2_mxu=r2_mxu,
+        )
+    elif c16_all:
         accel2 = nl.fused_forces_nl32_c16(
             q_force2, c16_pack, cand_f2, count_f2, params, terms, real2,
             density2m, r2_mxu=r2_mxu,

@@ -258,14 +258,17 @@ def gather_tiles(cpack: jnp.ndarray, cand_sub: jnp.ndarray,
     return out.reshape(-1, LANES)[: nb * mg * f_out]
 
 
-def _pad_groups(cand_sub, count, group=GROUP):
-    """Pad the refined table to a whole number of (group*TPS)-subblock
+def _pad_groups(cand_sub, count, group=GROUP, tps=TPS):
+    """Pad the refined table to a whole number of (group*tps)-subblock
     grid steps and convert counts to tile units. ``group``: subblocks
-    lane-packed per tile (GROUP for 32-wide, GROUP16 for 16-wide)."""
+    lane-packed per tile (GROUP for 32-wide, GROUP16 for 16-wide,
+    GROUP8 for 8-wide); ``tps``: tiles per grid step (the sub-8 force
+    pass adapts it to the capacity so the window is not padded up to
+    8 tiles — streamed bytes scale with the PADDED capacity)."""
     from ...ops.tiles import REFINE_SENTINEL
 
     nb, m = cand_sub.shape
-    step = group * TPS
+    step = group * tps
     mp = -(-m // step) * step
     if mp != m:
         pad = jnp.full((nb, mp - m), REFINE_SENTINEL, cand_sub.dtype)
@@ -437,16 +440,18 @@ def fused_density_nl(
     staleness guard holds. Returns (density, hits, hits2)."""
     interpret = _interpret_default() if interpret is None else interpret
     group = GROUP16 if c16 else GROUP
-    if c16:
+    if c16 and hit_sub != 8:
+        # c16 tables imply 16-wide flags unless the sub-8 force pass
+        # asked for half-slot (8-wide) flags
         hit_sub = SUB16
     if hit2_h is not None and not (want_hits and c16):
         raise ValueError("hit2_h requires want_hits and the c16 path")
     cand_sub, count_tiles = _pad_groups(cand_sub, count, group=group)
     mp = cand_sub.shape[1]
     bq = q_pos.shape[2]  # query width = out lane extent
-    # flag slots across the padded table (16-granular tables are
-    # already one slot per candidate id)
-    slots = mp if c16 else mp * (SUB // hit_sub)
+    # flag slots across the padded table (16-granular tables are one
+    # slot per candidate id at hit_sub=16, two half-slots at 8)
+    slots = mp * (SUB16 // hit_sub) if c16 else mp * (SUB // hit_sub)
     hit_rows = 0
     out_rows = 8
     hit2_rows = 0
@@ -1228,21 +1233,23 @@ def _transpose16_half(cv):
     return out
 
 
-def make_gid_planes(cand_padded, mg):
+def make_gid_planes(cand_padded, mg, sub=SUB16, tps=TPS):
     """Per-tile candidate gid rows for the self_from_ids force path:
-    (nb4, mp) padded hit-list ids -> (nb4, mg*TPS, 128) f32 where
-    plane [i, m*TPS+s, l] = cand[i, (m*TPS+s)*GROUP16 + l//16] * 16 +
-    l % 16 — the global particle id of lane l in tile s. A tiny VMEM
-    side input (4 KB/grid step) replacing the gathered gid field: the
-    id table CANNOT ride scalar prefetch (SMEM is 1 MB; the table is
-    8 MB at 1M). Sentinel ids (2^30) map to 2^34 (a power of two:
-    f32-exact), never equal to a real gid (< 2^24 by the pack guard)."""
+    (nb4, mp) padded hit-list ids -> (nb4, mg*tps, 128) f32 where
+    plane [i, m*tps+s, l] = cand[i, (m*tps+s)*(128//sub) + l//sub] *
+    sub + l % sub — the global particle id of lane l in tile s. A tiny
+    VMEM side input (4 KB/grid step) replacing the gathered gid field:
+    the id table CANNOT ride scalar prefetch (SMEM is 1 MB; the table
+    is 8 MB at 1M). Sentinel ids (2^30) map to 2^33/2^34 (powers of
+    two: f32-exact), never equal to a real gid (< 2^24 by the pack
+    guard). ``sub``: candidate subblock width (16 for the c16 force
+    pass, 8 for sub-8)."""
     nb4, mp = cand_padded.shape
     lanes = (
-        cand_padded.astype(jnp.float32)[:, :, None] * float(SUB16)
-        + jnp.arange(SUB16, dtype=jnp.float32)[None, None, :]
+        cand_padded.astype(jnp.float32)[:, :, None] * float(sub)
+        + jnp.arange(sub, dtype=jnp.float32)[None, None, :]
     )
-    return lanes.reshape(nb4, mg * TPS, LANES)
+    return lanes.reshape(nb4, mg * tps, LANES)
 
 
 def _forces_kernel_q32x4_c16(count_ref, q, qrow, *rest, h, spiky, visc,
@@ -1513,6 +1520,301 @@ def fused_forces_nl32_c16(
             interpret, group=GROUP16, with_gid_planes=self_from_ids,
         )
     return _combine_forces(sums, params, real_flat, density)
+
+
+# ----------------------------------------------------------------------
+# 8-wide candidate subblocks for the q32 force pass (force_sub8, r5).
+#
+# Sub-16 granularity halved the dead-lane share of the force stream
+# (770 -> 552 true-hit lanes/particle at 1M, experiments/
+# volume_probe.py); sub-8 cuts it again toward the ~30-40 physical
+# neighbours. Mosaic's 128-lane DMA floor constrains the STREAM, not
+# the register granularity: the pack stores one 8-particle subblock
+# per 64-lane row (8 fields x 8 lanes), XLA's row gather fetches hit
+# rows and PAIRS consecutive hits into 128-lane stream rows (a
+# reshape; bandwidth-checked by experiments/gather8_probe.py), and the
+# kernel assembles (8, 128) field tiles of 16 subblocks with a
+# 15-round roll/select transpose. The hit-slot order is pre-permuted
+# so tile t's stream row r carries hits (t*16 + r, t*16 + 8 + r): with
+# that pairing the in-kernel (row, lane) mapping is a single diagonal
+# family dd = C%8 - f (see _transpose8_pair) — the naive consecutive
+# pairing needs a per-(row, cell) shift that roll/select can't
+# express in one family.
+#
+# Stream economics per query subgroup: capacity x 256 B/slot (vs
+# 512 B/slot at 16-wide); tiles-per-step adapts to the capacity
+# (tps = tiles when <= 8) so the window is not padded up to 8
+# grid-step tiles — streamed bytes scale with PADDED capacity
+# (the r4 hit16cap128 probe: +22 ms/substep of pure dead-capacity
+# streaming at identical live compute).
+# ----------------------------------------------------------------------
+
+SUB8 = 8
+GROUP8 = LANES // SUB8  # 8-wide subblocks per 128-lane tile
+
+# gather strategy for the 64-lane pack rows: 'half64' (one take on the
+# (nc8+1, 64) pack + pair-reshape) | 'pairadd' (two takes on 128-lane
+# zero-padded lo/hi packs + add; fallback if XLA lane-pads the 64-lane
+# take — see experiments/gather8_probe.py)
+_GATHER8 = os.environ.get("LIBCLSPH_TPU_GATHER8", "half64")
+
+
+def make_c8_force_pack(position, velocity, density, pressure, real,
+                       mass=1.0, center=None):
+    """Force-field pack at 8-particle subblock rows: (nc8+1, 8*8=64)
+    flat rows [px py pz vx vy vz pm mr] x 8 lanes each — half a
+    128-lane vreg per row; gather_raw8 pairs two hit rows per stream
+    row. Field order matches make_c16_force_pack(with_gid=False).
+    Self-exclusion is always by reconstructed gids (gid planes):
+    valid only when pack row r, lane l holds global particle r*8+l."""
+    n = position.shape[0]
+    nc = n // SUB8
+    if center is not None:
+        position = position - center
+    safe_rho = jnp.where(density > 0, density, 1.0)
+    pm = jnp.where(real, mass * pressure / (safe_rho * safe_rho), 0.0)
+    mr = jnp.where(real, mass / safe_rho, 0.0)
+    px, py, pz = position[:, 0], position[:, 1], position[:, 2]
+    vx, vy, vz = velocity[:, 0], velocity[:, 1], velocity[:, 2]
+    fields = [px, py, pz, vx, vy, vz, pm, mr]
+    a = _interleave(fields, nc, SUB8).reshape(nc, 8 * SUB8)
+    dead = jnp.zeros((1, 8 * SUB8), jnp.float32)
+    dead = dead.at[:, : 3 * SUB8].set(FAR)
+    return jnp.concatenate([a, dead], axis=0)
+
+
+def gather_raw8(cpack, cand_sub):
+    """Gather 64-lane pack rows and pair them into 128-lane stream
+    rows: (nc8+1, 64) pack + (nb, M) PAIR-PERMUTED ids (M even) ->
+    (nb*M/2, 128) where lanes 0..63 = permuted slot 2k and 64..127 =
+    slot 2k+1."""
+    dead = cpack.shape[0] - 1
+    idx = jnp.minimum(cand_sub, dead)
+    w = cpack.shape[1]
+    if _GATHER8 == "pairadd":
+        lo = jnp.pad(cpack, ((0, 0), (0, w)))
+        hi = jnp.pad(cpack, ((0, 0), (w, 0)))
+        flat = idx.reshape(-1, 2)
+        return (
+            jnp.take(lo, flat[:, 0], axis=0)
+            + jnp.take(hi, flat[:, 1], axis=0)
+        )
+    g = jnp.take(cpack, idx.reshape(-1), axis=0)
+    return g.reshape(-1, 2 * w)
+
+
+def _pair_perm8(cand_p):
+    """Reorder each 16-slot tile group [0..15] -> [0,8,1,9,...,7,15]
+    so consecutive PAIRS (stream rows) hold slots (r, r+8): stream row
+    r of tile t then carries dest cells r and r+8, making the
+    in-kernel transpose a pure diagonal family (_transpose8_pair).
+    Accumulation order over hit slots is physics-neutral (f32 sums in
+    slot order change, covered by the summation-order tolerance)."""
+    nb, mp = cand_p.shape
+    g = cand_p.reshape(nb, mp // GROUP8, 2, SUB8)
+    return g.swapaxes(-1, -2).reshape(nb, mp)
+
+
+def _transpose8_pair(cv):
+    """(8, 128) paired raw rows -> (8, 128) field rows.
+
+    src[r, h*64 + f*8 + p] holds field f, particle p of dest cell
+    C = r + 8h (h in {0, 1} the pair half, from the _pair_perm8
+    order); dest[f, C*8 + p] = src[C % 8, (C // 8)*64 + f*8 + p].
+    15 diagonal rounds dd = C%8 - f in [-7, 7]: sublane roll by
+    (-dd) mod 8, lane roll by (8*dd) mod 128."""
+    cell = jax.lax.broadcasted_iota(jnp.int32, (SUB8, LANES), 1) // SUB8
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB8, LANES), 0)
+    key = cell % 8 - row
+    out = jnp.zeros_like(cv)
+    for dd in range(-7, 8):
+        r = pltpu.roll(cv, (-dd) % 8, axis=0)
+        r = pltpu.roll(r, (dd % 16) * SUB8, axis=1)
+        out = jnp.where(key == dd, r, out)
+    return out
+
+
+def _forces_kernel_q32x4_c8(count_ref, q, qrow, *rest, h, spiky, visc,
+                            poly6_grad, poly6_lap, eps, r2_mxu, tps):
+    """All-4-subgroup force kernel over 8-wide candidate subblocks
+    (the sub-8 analog of :func:`_forces_kernel_q32x4_c16`): grid
+    (nb, mg), ``tps`` tiles of 16 subblocks per step, stream rows
+    pre-paired by _pair_perm8 + gather_raw8, gids always from planes
+    (no gathered gid field — half the candidate DMA)."""
+    cs = rest[:QG]
+    gids = rest[QG : 2 * QG]
+    out, acc = rest[2 * QG :]
+    i = pl.program_id(0)
+    m = pl.program_id(1)
+
+    @pl.when(m == 0)
+    def _():
+        out[...] = jnp.zeros_like(out)
+        acc[...] = jnp.zeros_like(acc)
+
+    for g in range(QG):
+        acc_g = acc.at[g * 8 : (g + 1) * 8, :]
+        for s in range(tps):
+
+            @pl.when(m * tps + s < count_ref[i * QG + g])
+            def _(g=g, s=s, acc_g=acc_g):
+                tile = _transpose8_pair(cs[g][s * 8 : (s + 1) * 8, :])
+                gid_row = gids[g][0, s : s + 1, :]
+                row = lambda k: gid_row if k == 8 else tile[k : k + 1, :]
+                _forces_pair_q32(
+                    lambda k: q[0, g * Q32 : (g + 1) * Q32, k : k + 1],
+                    row, qrow, acc_g,
+                    h=h, spiky=spiky, visc=visc,
+                    poly6_grad=poly6_grad, poly6_lap=poly6_lap, eps=eps,
+                    r2_mxu=r2_mxu,
+                )
+
+    @pl.when(m == pl.num_programs(1) - 1)
+    def _():
+        for g in range(QG):
+            _forces_finalize_q32(
+                acc.at[g * 8 : (g + 1) * 8, :], qrow, out, g
+            )
+
+
+def _nl32x4_call8(kernel, q, cpack, cand_sub, count_tiles, out_rows,
+                  interpret, tps):
+    """Driver for the sub-8 all-4-subgroup force kernel: grid (nb, mg)
+    with QG paired-row candidate streams + QG gid planes per step.
+    Chunked like _nl32x4_call."""
+    nb4 = cand_sub.shape[0]
+    nb = q.shape[0]
+    if nb4 != nb * QG:
+        raise ValueError("cand rows must be nb*QG (per-subgroup lists)")
+    f_q, b = q.shape[1], q.shape[2]
+    mp = cand_sub.shape[1]
+    mg = mp // (tps * GROUP8)
+    dead = cpack.shape[0] - 1
+    q_row = q[..., 0]
+    q_cols = jnp.pad(
+        jnp.swapaxes(q_row, 1, 2), ((0, 0), (0, 0), (0, LANES - f_q))
+    )
+    rows_step = tps * SUB8  # paired 128-lane stream rows per grid step
+    chunk4 = max(1, min(nb4, NL_CHUNK_BYTES // (mp * SUB8 * 8 * 4)))
+    chunk = max(1, chunk4 // QG)
+
+    def run_chunk(args):
+        cand_c, count_c, qc, qrow_c = args
+        nbc = qc.shape[0]
+        in_specs = [
+            pl.BlockSpec((1, b, LANES), lambda i, m, *_: (i, 0, 0)),
+            pl.BlockSpec((1, f_q, b), lambda i, m, *_: (i, 0, 0)),
+        ]
+        for g in range(QG):
+            in_specs.append(
+                pl.BlockSpec(
+                    (rows_step, LANES),
+                    lambda i, m, *_, g=g: ((i * QG + g) * mg + m, 0),
+                )
+            )
+        for g in range(QG):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, tps, LANES),
+                    lambda i, m, *_, g=g: (i * QG + g, m, 0),
+                )
+            )
+        gid_planes = make_gid_planes(cand_c, mg, sub=SUB8, tps=tps)
+        raw = gather_raw8(cpack, _pair_perm8(cand_c))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbc, mg),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, out_rows, b), lambda i, m, *_: (i, 0, 0)
+            ),
+            scratch_shapes=[pltpu.VMEM((8 * QG, LANES), jnp.float32)],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (nbc, out_rows, b), jnp.float32
+            ),
+            interpret=interpret,
+        )(count_c, qc, qrow_c, *((raw,) * QG), *((gid_planes,) * QG))
+
+    if chunk >= nb:
+        return run_chunk((cand_sub, count_tiles, q_cols, q_row))
+    nch = -(-nb // chunk)
+    padq = nch * chunk - nb
+    pad4 = padq * QG
+
+    def cc(a, fill, pad):
+        if pad:
+            tail = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+            a = jnp.concatenate([a, tail], axis=0)
+        return a.reshape((nch, -1) + a.shape[1:])
+
+    out = jax.lax.map(
+        run_chunk,
+        (
+            cc(cand_sub, dead, pad4),
+            cc(count_tiles, 0, pad4),
+            cc(q_cols, 0, padq),
+            cc(q_row, 0, padq),
+        ),
+    )
+    return out.reshape((-1,) + out.shape[2:])[:nb]
+
+
+def fused_forces_nl32_c8(
+    q_force: jnp.ndarray,
+    c8_force_pack: jnp.ndarray,
+    cand_hit8: jnp.ndarray,
+    count_hit8: jnp.ndarray,
+    params: SimulationParameters,
+    terms: PrecomputedKernelValues,
+    real_flat: jnp.ndarray,
+    density: jnp.ndarray,
+    *,
+    interpret: bool | None = None,
+    r2_mxu: bool = False,
+) -> jnp.ndarray:
+    """fused_forces_nl32_c16 at 8-wide candidate subblocks:
+    ``cand_hit8``/``count_hit8`` (nb*QG, cap8) hold 8-granular ids
+    (16-id * 2 + half, from the density pass's hit_sub=8 flags);
+    ``c8_force_pack`` from :func:`make_c8_force_pack`. Physics
+    identical (every force term carries the hard r<h cutoff) at a
+    finer streamed granularity. Single-chip only: self-exclusion is
+    by slot-arithmetic gid reconstruction, which requires pack row r,
+    lane l = global particle r*8+l (the sharded/exchanged-table
+    layout carries gathered gids instead — use sub16 there)."""
+    interpret = _interpret_default() if interpret is None else interpret
+    if c8_force_pack.shape[1] != 8 * SUB8:
+        raise ValueError("c8 pack rows must be 8 fields x 8 lanes")
+    cap = cand_hit8.shape[1]
+    tiles = -(-cap // GROUP8)
+    tps = 8
+    for t in range(8, 0, -1):
+        if tiles % t == 0:
+            tps = t
+            break
+    cand_p, count_tiles = _pad_groups(
+        cand_hit8, count_hit8, group=GROUP8, tps=tps
+    )
+    kw = dict(
+        h=float(params.h),
+        spiky=float(terms.spiky),
+        visc=float(terms.viscosity),
+        poly6_grad=float(terms.poly_6_gradient),
+        poly6_lap=float(terms.poly_6_laplacian),
+        eps=smoothing.EPSILON,
+        r2_mxu=r2_mxu,
+        tps=tps,
+    )
+    sums = _nl32x4_call8(
+        functools.partial(_forces_kernel_q32x4_c8, **kw),
+        q_force, c8_force_pack, cand_p, count_tiles, 10, interpret, tps,
+    )
+    return _combine_forces(sums, params, real_flat, density)
+
+
 #
 # The XLA pre-gather above costs ~125 ms/substep at 1M (jnp.take runs
 # at ~36 GB/s effective and the lane-packing transpose adds as much

@@ -537,6 +537,91 @@ def test_density_sub16_matches_q128(rng):
     np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
 
 
+def test_force_sub8_matches_q128(rng):
+    """The 8-wide q32 force pass (hit_sub=8 flags, paired 8-particle
+    candidate rows + 15-round in-register transpose,
+    neighbor_nl.fused_forces_nl32_c8) reproduces the whole-block force
+    pass up to f32 summation order."""
+    params = make_params(WATER, n=2048)
+    pos, vel = random_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+    )
+    s128, _, f128 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(max_candidates_sub=96, max_candidates_hit=64, **base),
+    )
+    s8, _, f8 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(
+            max_candidates_sub=144, force_query_rows=32, force_sub16=True,
+            density_sub16=True, force_sub8=True, max_candidates_hit8=96,
+            **base,
+        ),
+    )
+    assert not bool(f128) and not bool(f8)
+    np.testing.assert_allclose(
+        np.asarray(s128.density), np.asarray(s8.density), rtol=1e-6
+    )
+    a1 = np.asarray(s128.acceleration)
+    a2 = np.asarray(s8.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+
+
+def test_force_sub8_tier2_matches_plain(rng):
+    """sub-8 under two-tier routing (both tiers on the c8 kernels)
+    reproduces the plain sub-8 pass."""
+    params = make_params(WATER, n=2048)
+    pos, vel = random_cloud(rng, params, 2048)
+    state = make_state(pos, vel)
+    base = dict(
+        neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+        force_query_rows=32, force_sub16=True, density_sub16=True,
+        force_sub8=True, max_candidates_hit8=96,
+    )
+    s1, _, f1 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(max_candidates_sub=144, **base),
+    )
+    s2, _, f2 = substep_jit(
+        state, jnp.float32(1e-9), params, None,
+        StepConfig(max_candidates_sub=96, tier2_frac=4, **base),
+    )
+    assert not bool(f1) and not bool(f2)
+    np.testing.assert_allclose(
+        np.asarray(s1.density), np.asarray(s2.density), rtol=1e-6
+    )
+    a1 = np.asarray(s1.acceleration)
+    a2 = np.asarray(s2.acceleration)
+    np.testing.assert_allclose(a1, a2, atol=1e-5 * np.abs(a1).max())
+
+
+def test_force_sub8_invalid_configs():
+    """force_sub8 outside its supported shape must raise, not silently
+    fall back."""
+    params = make_params(WATER, n=512)
+    state = make_state(
+        np.zeros((512, 3), np.float32), np.zeros((512, 3), np.float32)
+    )
+    for bad, msg in [
+        (dict(), "force_sub8"),  # needs density_sub16
+        (
+            dict(
+                force_query_rows=32, force_sub16=True, density_sub16=True,
+                density_gate=True, cand_interval=2,
+            ),
+            "force_sub8",
+        ),
+    ]:
+        cfg = StepConfig(
+            neighbor_impl="pallas", pallas_variant="nl", adaptive_dt=False,
+            force_sub8=True, **bad,
+        )
+        with pytest.raises(ValueError, match=msg):
+            substep_jit(state, jnp.float32(1e-9), params, None, cfg)
+
+
 def test_density_sub16_invalid_configs():
     """density_sub16 outside its supported shape must raise, not
     silently fall back (config-divergence guard)."""
