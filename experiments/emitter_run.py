@@ -98,14 +98,20 @@ def main():
     mk_lo = np.array([-0.75, -1.25, -0.64])  # monkey AABB + 0.1 dilation
     mk_hi = np.array([0.75, 0.05, 0.64])
     pts = []
-    y = -1.30
-    while len(pts) < args.n:
+    total = 0
+    # start BELOW the recycle plane (-1.4): a shower in progress has
+    # water already exiting the frame, so recycling engages on the
+    # first post-step frame instead of after ~4 frames of free fall
+    y = -1.55
+    while total < args.n:
         xx, zz = np.meshgrid(xs, zs, indexing="ij")
         layer = np.stack(
             [xx.ravel(), np.full(xx.size, y), zz.ravel()], axis=1
         )
         inside = np.all((layer > mk_lo) & (layer < mk_hi), axis=1)
-        pts.append(layer[~inside])
+        kept = layer[~inside]
+        pts.append(kept)
+        total += len(kept)
         y += spacing
     pos = np.concatenate(pts)[: args.n].astype(np.float32)
     jet = np.tile(np.float32([0.0, -1.5, 0.0]), (args.n, 1))
