@@ -200,10 +200,11 @@ def main():
                     help="16-wide candidate subblocks for the q32 force pass")
     ap.add_argument("--max-candidates-hit16", type=int, default=64)
     ap.add_argument("--force-sub8", action=argparse.BooleanOptionalAction,
-                    default=False,
+                    default=True,
                     help="8-wide candidate subblocks for the q32 force "
-                    "pass (r5; requires --density-sub16)")
-    ap.add_argument("--max-candidates-hit8", type=int, default=96)
+                    "pass (r5; requires --density-sub16; measured 163.4 "
+                    "vs 175.7 ms/substep at 1M)")
+    ap.add_argument("--max-candidates-hit8", type=int, default=80)
     ap.add_argument("--density-sub16", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="16-wide candidate tables for the density pass too "
@@ -369,7 +370,9 @@ def main():
             updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
         if ovf & FLAG_CAPACITY_HIT:
             if cfg.force_sub8 and cfg.density_sub16:
-                updates["max_candidates_hit8"] = cfg.max_candidates_hit8 * 2
+                # 32-slot steps: capacity IS streamed bytes (a doubling
+                # measured +33 ms/substep at 2M)
+                updates["max_candidates_hit8"] = cfg.max_candidates_hit8 + 32
             elif cfg.force_sub16 and cfg.force_query_rows == 32:
                 updates["max_candidates_hit16"] = cfg.max_candidates_hit16 * 2
             else:

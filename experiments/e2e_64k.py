@@ -46,7 +46,8 @@ def main():
         neighbor_impl="pallas", pallas_variant="nl",
         max_candidates=96, max_candidates_sub=192, max_candidates_hit=96,
         force_query_rows=32, force_sub16=True, density_sub16=True,
-        max_candidates_hit16=64, sort_interval=4, cand_interval=4,
+        max_candidates_hit16=64, force_sub8=True, max_candidates_hit8=80,
+        sort_interval=4, cand_interval=4,
     ))
     sim.parameters = derive_parameters(
         dict(WATER),

@@ -62,7 +62,7 @@ def main():
         neighbor_impl="pallas", pallas_variant="nl",
         max_candidates=96, max_candidates_sub=192, max_candidates_hit=96,
         force_query_rows=32, force_sub16=True, density_sub16=True,
-        max_candidates_hit16=64,
+        max_candidates_hit16=64, force_sub8=True, max_candidates_hit8=80,
         # per-frame pre_frame uploads invalidate carried device state,
         # so the engine runs the per-frame rebuild schedule anyway;
         # cadence within a frame still applies
@@ -124,7 +124,7 @@ def main():
         pressure=jnp.zeros((args.n,), jnp.float32),
         grid_index=jnp.zeros((args.n,), jnp.uint32),
     )
-    print(f"column init: y in [-1.30, {y:.2f}], spacing {spacing:.4f}",
+    print(f"column init: y in [-1.55, {y:.2f}], spacing {spacing:.4f}",
           file=sys.stderr)
 
     rng = np.random.default_rng(0)

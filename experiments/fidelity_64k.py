@@ -54,7 +54,8 @@ params = derive_parameters(fluid, sim)
 cfg = StepConfig(neighbor_impl="pallas", pallas_variant="nl",
                  max_candidates=96, max_candidates_sub=192,
                  max_candidates_hit=96, force_query_rows=32,
-                 force_sub16=True, density_sub16=True)
+                 force_sub16=True, density_sub16=True,
+                 force_sub8=True, max_candidates_hit8=80)
 
 state = init_state(params)
 dt = jnp.float32(params.max_dt)

@@ -152,6 +152,7 @@ def main():
             max_candidates_hit=128,
             force_query_rows=32, force_sub16=True, density_sub16=True,
             max_candidates_hit16=64,
+            force_sub8=True, max_candidates_hit8=80,
             sort_interval=4,
             cand_interval=4,  # Verlet reuse (predictive in-loop
             # staleness: frame_jit rebuilds when displacement-since-

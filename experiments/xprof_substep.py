@@ -73,6 +73,8 @@ def main():
     ap.add_argument("--force-sub16", action="store_true")
     ap.add_argument("--density-sub16", action="store_true")
     ap.add_argument("--max-candidates-hit16", type=int, default=64)
+    ap.add_argument("--force-sub8", action="store_true")
+    ap.add_argument("--max-candidates-hit8", type=int, default=96)
     ap.add_argument("--sort-interval", type=int, default=1)
     ap.add_argument("--cand-interval", type=int, default=1)
     ap.add_argument("--cand-slack", type=float, default=0.25)
@@ -103,6 +105,8 @@ def main():
             force_sub16=args.force_sub16,
             density_sub16=args.density_sub16,
             max_candidates_hit16=args.max_candidates_hit16,
+            force_sub8=args.force_sub8,
+            max_candidates_hit8=args.max_candidates_hit8,
             tier2_frac=args.tier2_frac,
             sort_interval=args.sort_interval,
             cand_interval=args.cand_interval,

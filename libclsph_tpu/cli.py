@@ -75,12 +75,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="16-wide candidate subblocks for the density pass too",
     )
     ap.add_argument(
-        "--force-sub8", action=argparse.BooleanOptionalAction, default=False,
+        "--force-sub8", action=argparse.BooleanOptionalAction, default=True,
         help="8-wide candidate subblocks for the q32 force pass "
         "(requires --density-sub16; single-chip only)",
     )
     ap.add_argument(
-        "--max-candidates-hit8", type=int, default=96,
+        "--max-candidates-hit8", type=int, default=80,
         help="per-subgroup capacity for the 8-wide force pass",
     )
     ap.add_argument(

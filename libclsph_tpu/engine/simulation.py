@@ -231,7 +231,16 @@ class SPHSimulation:
             if flags & FLAG_CAPACITY_T2:
                 updates["tier2_frac"] = max(1, cfg.tier2_frac // 2)
             if flags & FLAG_CAPACITY_HIT:
-                if cfg.force_sub16 and cfg.force_query_rows == 32:
+                if cfg.force_sub8 and cfg.max_candidates_hit8 < 160:
+                    # sub-8 hit shortfall: grow in 32-slot (2-tile)
+                    # steps — capacity IS streamed bytes, and a
+                    # doubling measured +33 ms/substep at 2M. Past 160
+                    # slots the distribution is in the deep-column
+                    # regime; fall through to the c16->q downgrade.
+                    updates["max_candidates_hit8"] = (
+                        cfg.max_candidates_hit8 + 32
+                    )
+                elif cfg.force_sub16 and cfg.force_query_rows == 32:
                     # Deep-column signature: the 16-granular hit tables
                     # overflowing their cap marks the regime where the
                     # c16 kernels were MEASURED to lose to the

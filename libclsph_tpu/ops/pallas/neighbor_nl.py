@@ -1552,11 +1552,13 @@ def fused_forces_nl32_c16(
 SUB8 = 8
 GROUP8 = LANES // SUB8  # 8-wide subblocks per 128-lane tile
 
-# gather strategy for the 64-lane pack rows: 'half64' (one take on the
-# (nc8+1, 64) pack + pair-reshape) | 'pairadd' (two takes on 128-lane
-# zero-padded lo/hi packs + add; fallback if XLA lane-pads the 64-lane
-# take — see experiments/gather8_probe.py)
-_GATHER8 = os.environ.get("LIBCLSPH_TPU_GATHER8", "half64")
+# gather strategy for the 64-lane pack rows: 'pairadd' (two takes on
+# 128-lane zero-padded lo/hi packs + add) | 'half64' (one take on the
+# (nc8+1, 64) pack + pair-reshape). XLA lane-pads the 64-lane take and
+# relayouts the pair reshape (experiments/gather8_probe.py: 33 vs 38
+# GB/s useful), so pairadd is the default — measured 163.4 vs 169.3
+# ms/substep at 1M (r5_results.jsonl sub8c80 rows).
+_GATHER8 = os.environ.get("LIBCLSPH_TPU_GATHER8", "pairadd")
 
 
 def make_c8_force_pack(position, velocity, density, pressure, real,
