@@ -95,17 +95,37 @@ def contact_stats(state, dt):
 t0 = time.perf_counter()
 done = 0
 while done < SETTLE_BUDGET:
+    chunk_flags = 0
     for _ in range(SETTLE_CHUNK):
         state, dt, flags = substep_jit(state, dt, params, dev_scene, cfg)
+        chunk_flags |= int(flags)
     done += SETTLE_CHUNK
+    if chunk_flags:
+        # capacity overflow while settling (the compressing dam
+        # deepens the refined tables past the bench-scale caps). Grow
+        # like the engine autotune and keep settling — a truncated
+        # SETTLE substep only perturbs the (arbitrary) test state; the
+        # PROBE substep below is asserted flag-free under the grown
+        # caps.
+        import dataclasses as _dc
+        u = {}
+        if chunk_flags & 1:  # FLAG_CAPACITY
+            u["max_candidates"] = cfg.max_candidates * 2
+        if chunk_flags & 8:  # FLAG_CAPACITY_SUB
+            u["max_candidates_sub"] = cfg.max_candidates_sub + 96
+        if chunk_flags & 16:  # FLAG_CAPACITY_HIT
+            u["max_candidates_hit8"] = cfg.max_candidates_hit8 + 32
+        print(f"  settle {done}: flags {chunk_flags} -> grow {u}",
+              file=sys.stderr, flush=True)
+        cfg = _dc.replace(cfg, **u)
+        cfg_probe = _dc.replace(cfg, adaptive_dt=False)
     c_now, c_pred, min_y = contact_stats(state, dt)
     c_now, c_pred = int(c_now), int(c_pred)
     print(f"  settle {done}: contacts now={c_now} pred={c_pred} "
           f"min_y={float(min_y):.3f} dt={float(dt):.2e}",
           file=sys.stderr, flush=True)
-    if c_pred >= TARGET_CONTACTS:
+    if c_pred >= TARGET_CONTACTS and not chunk_flags:
         break
-assert not int(flags), int(flags)
 assert c_pred >= TARGET_CONTACTS, (
     f"settle budget {SETTLE_BUDGET} exhausted with only {c_pred} predicted "
     f"contacts — raise FIDELITY_SETTLE or lower FIDELITY_TARGET")
@@ -119,8 +139,11 @@ pos0 = np.asarray(state.position, np.float64)
 vel0 = np.asarray(state.velocity, np.float64)
 iv0 = np.asarray(state.intermediate_velocity, np.float64)
 dt_probe = float(dt)
-out = substep_jit(state, jnp.float32(dt_probe), params, dev_scene,
-                  cfg_probe, do_sort=False)[0]
+out, _, probe_flags = substep_jit(
+    state, jnp.float32(dt_probe), params, dev_scene, cfg_probe,
+    do_sort=False,
+)
+assert not int(probe_flags), f"probe substep flagged {int(probe_flags)}"
 rho_dev = np.asarray(out.density, np.float64)
 acc_dev = np.asarray(out.acceleration, np.float64)
 pos_dev = np.asarray(out.position, np.float64)
