@@ -1791,12 +1791,14 @@ def fused_forces_nl32_c8(
     if c8_force_pack.shape[1] != 8 * SUB8:
         raise ValueError("c8 pack rows must be 8 fields x 8 lanes")
     cap = cand_hit8.shape[1]
-    tiles = -(-cap // GROUP8)
-    tps = 8
-    for t in range(8, 0, -1):
-        if tiles % t == 0:
-            tps = t
-            break
+    # ONE grid step per query block (mg == 1, tps = whole window):
+    # Mosaic requires a block's trailing dims to be divisible by
+    # (8, 128) OR equal to the array dims — the (1, tps, 128) gid
+    # plane block is only legal when tps == the plane's full second
+    # dim. mg == 1 also matches the measured grid-step economics (the
+    # r4 x4/fold restructures: per-step bookkeeping dominates small
+    # steps). Window VMEM stays modest (cap 320 -> 80 KB/stream).
+    tps = -(-cap // GROUP8)
     cand_p, count_tiles = _pad_groups(
         cand_hit8, count_hit8, group=GROUP8, tps=tps
     )
