@@ -38,8 +38,9 @@ def main():
     ap.add_argument("--n", type=int, default=262144)
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--out", default=None, help="frame prefix (.geo export)")
-    ap.add_argument("--recycle-frac", type=float, default=0.25,
-                    help="max fraction of particles recycled per frame")
+    ap.add_argument("--recycle-frac", type=float, default=0.05,
+                    help="max fraction of particles recycled per frame "
+                    "(bounds the re-injection stack above the tray)")
     args = ap.parse_args()
     root = os.path.join(os.path.dirname(__file__), "..")
 
@@ -133,6 +134,16 @@ def main():
     frame_times = []
     last = [time.perf_counter()]
     budget = max(1, int(args.n * args.recycle_frac))
+    # re-injection lattice: a rest-spacing grid over the tray footprint
+    # (the tray is perforated over its whole area — point nozzles would
+    # stack hundreds of recycled particles inside one smoothing radius
+    # and the Tait EOS (rho/rho0)^7 explodes them across the Morton
+    # grid limit; measured rc=1 in r5_deliver.log emitter-256k-v2)
+    gx = np.arange(-1.0, 1.0, spacing)
+    tray_grid = np.stack(
+        [a.ravel() for a in np.meshgrid(gx, gx, indexing="ij")], axis=1
+    )
+    per_layer = len(tray_grid)
 
     def emitter(arrays, params, is_full_frame):
         now = time.perf_counter()
@@ -141,18 +152,27 @@ def main():
         pos, vel = arrays["position"], arrays["velocity"]
         # recycle particles that fell past the obstacle (monkey.obj is
         # the bare blob, no catch box — the continuous shower IS the
-        # steady state) back to the nozzle sites with the jet velocity
+        # steady state) back under the tray with the jet velocity
         settled = pos[:, 1] < -1.4
         idx = np.where(settled)[0][:budget]
         recycled_per_frame.append(len(idx))
         if len(idx) == 0:
             return False
-        s = sites[rng.integers(0, len(sites), len(idx))]
-        jitter = rng.normal(0.0, 0.004, (len(idx), 3))
-        pos[idx] = s + jitter
+        k = len(idx)
+        cells = np.concatenate([
+            rng.permutation(per_layer)
+            for _ in range(-(-k // per_layer))
+        ])[:k]
+        layer = np.arange(k) // per_layer
+        pts = tray_grid[cells] + rng.uniform(
+            -0.2 * spacing, 0.2 * spacing, (k, 2)
+        )
+        pos[idx, 0] = pts[:, 0]
+        pos[idx, 2] = pts[:, 1]
+        pos[idx, 1] = 0.75 + layer * spacing
         vel[idx] = [0.0, -1.5, 0.0]
         arrays["intermediate_velocity"][idx] = vel[idx]
-        recycled[0] += len(idx)
+        recycled[0] += k
         return True
 
     sim.pre_frame = emitter
