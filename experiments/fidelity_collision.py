@@ -1,5 +1,5 @@
 """Collision-active fidelity probe (VERDICT r3 item #5): settle a 64k
-water dam-break ONTO cube.obj, then compare one production substep's
+water dam-break into the box.obj container, then compare one production substep's
 density, acceleration AND post-collision position/velocity against a
 float64 oracle that recomputes the whole chain — pair sums, leapfrog,
 and the DF collision response (bake + trilinear + respond,
@@ -50,6 +50,14 @@ SETTLE_CHUNK = 24
 TARGET_CONTACTS = int(os.environ.get("FIDELITY_TARGET", "256"))
 ROWS = 512
 BAND = 2e-6  # contact-threshold exclusion band (f32 ulp scale of d)
+# box.obj (the BASELINE matrix #2 container: floor + 4 walls, open
+# top) RETAINS the dam, so settled water rests inside the DF contact
+# band and contacts are sustained. cube.obj is a closed OBSTACLE
+# below the spawn lattice: the splash runs off its top edges and
+# falls forever (measured: 4008 settle substeps ended at min_y -104
+# with 2 predicted contacts — r5_deliver.log fidelity-collision-v2),
+# so a contact-driven settle can never converge there.
+SCENE = os.environ.get("FIDELITY_SCENE", "box")
 
 fluid = dict(fluid_density=998.29, dynamic_viscosity=3.5, restitution=0,
              k=100, surface_tension_threshold=7.065,
@@ -67,7 +75,7 @@ cfg_probe = StepConfig(
     **{**cfg.__dict__, "adaptive_dt": False}
 )
 
-scene = Scene.load("cube.obj", params.h * 2, scenes_dir="scenes")
+scene = Scene.load(SCENE + ".obj", params.h * 2, scenes_dir="scenes")
 dev_scene = C.build_device_scene(scene)
 
 state = init_state(params)
